@@ -1,0 +1,127 @@
+"""Detector base: sklearn-ish estimator surface over DataFrames.
+
+The reference's estimator API (pytod/models/base.py:31-62: fit ->
+decision_scores_, threshold_, labels_) becomes DataFrame-in /
+DataFrame-out: ``fit_df`` returns the input keys plus
+``score / threshold / label / mu / sigma`` columns. The reference is
+fit-time-only (``decision_function`` is a stub in every model,
+knn.py:117-135 etc.), so transductive scoring is the whole contract.
+
+Two physical strategies per detector:
+
+* ``strategy='distributed'`` (default) — joins/windows/aggregations +
+  tile kernels; survives groups that do not fit on one executor.
+* ``strategy='kernel'`` — one Arrow kernel per group running the numpy
+  oracle directly; the parity-scale path (a group == one pytod matrix)
+  and the cross-check for the distributed plans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.thresholds import add_threshold_labels
+
+
+def grouped_kernel_scores(
+    df: DataFrame,
+    score_fn,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    group_cols: Iterable[str] = (),
+) -> DataFrame:
+    """Run a numpy ``score_fn(X) -> (n,) scores`` once per group via
+    applyInPandas. Rows are sorted by id inside the kernel so that
+    "matrix row i" == i-th id in ascending order (the engine's defined
+    position mapping for order-sensitive semantics like ECOD's
+    argsort quirk)."""
+    group_cols = list(group_cols)
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable")
+        X = np.stack(pdf[features_col].to_numpy()).astype(np.float64, copy=False)
+        out = pd.DataFrame({id_col: pdf[id_col].to_numpy(), "score": score_fn(X)})
+        for i, c in enumerate(group_cols):
+            out.insert(i, c, key[i])
+        return out
+
+    schema = ", ".join(
+        [f"`{c}` string" for c in group_cols] + [f"{id_col} long", "score double"]
+    )
+    if group_cols:
+        return df.groupBy(*group_cols).applyInPandas(kern, schema=schema)
+    grouped = df.groupBy(F.lit(1).alias("__g"))
+
+    def kern0(pdf):
+        return kern((), pdf)
+
+    return grouped.applyInPandas(kern0, schema=schema)
+
+
+class SparkDetector:
+    """Shared surface: ``score_df`` (raw scores) + ``fit_df`` (scores
+    with threshold/labels, base.py:414-435 parity)."""
+
+    def __init__(self, contamination: float = 0.1, strategy: str = "distributed"):
+        if not 0.0 < contamination <= 0.5:
+            # parity: pytod/models/base.py:71-74 raises on bad contamination
+            raise ValueError(f"contamination must be in (0, 0.5], got {contamination}")
+        self.contamination = contamination
+        self.strategy = strategy
+
+    # subclasses: _distributed_scores(df, id_col, features_col, group_cols, n_rows)
+    # and _kernel_fn() -> numpy score function
+    def _distributed_scores(self, df, id_col, features_col, group_cols, n_rows):
+        raise NotImplementedError
+
+    def _kernel_fn(self):
+        raise NotImplementedError
+
+    def score_df(
+        self,
+        df: DataFrame,
+        id_col: str = "row_id",
+        features_col: str = "features",
+        group_cols: Iterable[str] = (),
+        n_rows: int | None = None,
+    ) -> DataFrame:
+        if self.strategy == "kernel":
+            return grouped_kernel_scores(
+                df, self._kernel_fn(), id_col, features_col, group_cols
+            )
+        return self._distributed_scores(df, id_col, features_col, list(group_cols), n_rows)
+
+    def fit_df(
+        self,
+        df: DataFrame,
+        id_col: str = "row_id",
+        features_col: str = "features",
+        group_cols: Iterable[str] = (),
+        n_rows: int | None = None,
+    ) -> DataFrame:
+        scores = self.score_df(df, id_col, features_col, group_cols, n_rows)
+        return add_threshold_labels(
+            scores, self.contamination, score_col="score", group_cols=group_cols
+        )
+
+    def get_params(self) -> dict:
+        """sklearn-style param introspection (base.py:438-468 parity)."""
+        return {
+            k: v for k, v in vars(self).items() if not k.startswith("_")
+        }
+
+    def set_params(self, **params) -> "SparkDetector":
+        for k, v in params.items():
+            if k not in self.get_params():
+                raise ValueError(f"Invalid parameter {k} for {type(self).__name__}")
+            setattr(self, k, v)
+        return self
+
+    def __repr__(self) -> str:
+        args = ", ".join(f"{k}={v!r}" for k, v in sorted(self.get_params().items()))
+        return f"{type(self).__name__}({args})"

@@ -1,0 +1,168 @@
+"""Numpy transliterations of the reference's basic tensor operators.
+
+Each function documents the reference lines whose observable behavior
+it reproduces (reference = /root/reference, pytod v0.0.3). These run
+in fp64; the reference's fp16 "provable quantization" variants
+(basic_operators.py:96-182) are a precision *optimization* with
+identical exact output, so they are intentionally not duplicated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cdist(a: np.ndarray, b: np.ndarray | None = None, p: float = 2.0) -> np.ndarray:
+    """Pairwise Lp distance matrix.
+
+    Parity: ``pytod/models/basic_operators.py:15-32`` (torch.cdist).
+    """
+    if b is None:
+        b = a
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if p == 2.0:
+        # stable: sqrt of clipped squared distances via einsum gram trick
+        aa = np.einsum("ij,ij->i", a, a)[:, None]
+        bb = np.einsum("ij,ij->i", b, b)[None, :]
+        sq = aa + bb - 2.0 * (a @ b.T)
+        np.clip(sq, 0.0, None, out=sq)
+        return np.sqrt(sq)
+    diff = np.abs(a[:, None, :] - b[None, :, :]) ** p
+    return diff.sum(axis=2) ** (1.0 / p)
+
+
+def topk(A: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row k largest (values sorted desc) + indices.
+
+    Parity: ``pytod/models/basic_operators.py:54-75`` (torch.topk sorts).
+    """
+    A = np.asarray(A)
+    if A.ndim == 1:
+        A = A[None, :]
+        v, i = topk(A, k)
+        return v[0], i[0]
+    idx = np.argpartition(-A, kth=k - 1, axis=1)[:, :k]
+    part = np.take_along_axis(A, idx, axis=1)
+    order = np.argsort(-part, axis=1, kind="stable")
+    return np.take_along_axis(part, order, axis=1), np.take_along_axis(idx, order, axis=1)
+
+
+def bottomk(A: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row k smallest (values sorted asc) + indices.
+
+    Parity: ``pytod/models/basic_operators.py:78-93``
+    (torch.topk(largest=False) returns ascending-sorted values).
+    """
+    A = np.asarray(A)
+    if A.ndim == 1:
+        A = A[None, :]
+        v, i = bottomk(A, k)
+        return v[0], i[0]
+    idx = np.argpartition(A, kth=k - 1, axis=1)[:, :k]
+    part = np.take_along_axis(A, idx, axis=1)
+    order = np.argsort(part, axis=1, kind="stable")
+    return np.take_along_axis(part, order, axis=1), np.take_along_axis(idx, order, axis=1)
+
+
+def knn_full(A: np.ndarray, B: np.ndarray, k: int, p: float = 2.0):
+    """cdist -> bottomk composition.
+
+    Parity: ``pytod/models/functional_operators.py:6-23``.
+    """
+    return bottomk(cdist(A, B, p=p), k)
+
+
+def intersec1d(t1: np.ndarray, t2: np.ndarray, assume_unique: bool = False) -> np.ndarray:
+    """1-D sorted set intersection (unique -> concat -> sort -> adjacent-equal).
+
+    Parity: ``pytod/models/basic_operators.py:185-205``.
+    """
+    t1 = np.asarray(t1).ravel()
+    t2 = np.asarray(t2).ravel()
+    if not assume_unique:
+        t1 = np.unique(t1)
+        t2 = np.unique(t2)
+    aux = np.sort(np.concatenate((t1, t2)))
+    mask = aux[1:] == aux[:-1]
+    return aux[:-1][mask]
+
+
+def intersecmulti(A: np.ndarray, B: np.ndarray):
+    """Row-wise intersection of two (n, k) matrices + counts.
+
+    Parity: ``pytod/models/basic_operators.py:208-217``.
+    """
+    assert A.shape[0] == B.shape[0]
+    inter = [intersec1d(A[i, :], B[i, :]) for i in range(A.shape[0])]
+    return inter, [len(x) for x in inter]
+
+
+def ecdf_multiple(X: np.ndarray) -> np.ndarray:
+    """Per-feature "ECDF" exactly as the reference computes it.
+
+    Parity: ``pytod/models/basic_operators.py:226-244``:
+    ``argx = argsort(X, dim=0); y = linspace(1/n, 1, n); return y[argx]``.
+    NOTE the reference indexes ``y`` by the argsort *permutation*, not
+    its inverse: output row ``i`` of feature ``j`` holds
+    ``(argsort(X[:, j])[i] + 1) / n`` — i.e. the (1-based row index of
+    the i-th smallest value) / n, NOT the conventional ECDF of
+    ``X[i, j]``. ECOD consumes this as-is (ecod.py:82-95); we reproduce
+    it verbatim per the parity contract (do not "fix" to rank/n).
+    Ties: stable argsort (position order) — matches the measure-zero
+    tie behavior on continuous data.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    argx = np.argsort(X, axis=0, kind="stable")
+    y = np.linspace(1.0 / n, 1.0, n)
+    return y[argx]
+
+
+def histt(a: np.ndarray, bins: int = 10, density: bool = True):
+    """1-D histogram with torch.histc binning + linspace edges.
+
+    Parity: ``pytod/models/basic_operators.py:261-278``. torch.histc
+    uses ``bins`` equal-width bins over [min, max]; the max value falls
+    in the last bin. density = count / bin_width / total_count.
+    """
+    a = np.asarray(a, dtype=np.float64).ravel()
+    lo, hi = a.min(), a.max()
+    edges = np.linspace(lo, hi, bins + 1)
+    width = (hi - lo) / bins if hi > lo else 1.0
+    # torch.histc bin index: floor((x - lo) / width), clamped to bins-1
+    idx = np.floor((a - lo) / width).astype(np.int64)
+    np.clip(idx, 0, bins - 1, out=idx)
+    hist = np.bincount(idx, minlength=bins).astype(np.float64)
+    if density:
+        db = np.diff(edges)
+        return hist / db / hist.sum(), edges
+    return hist, edges
+
+
+def standardizer(X: np.ndarray, mean=None, std=None, return_mean_std: bool = False):
+    """Z-score with torch.std (sample std, ddof=1).
+
+    Parity: ``pytod/utils/utility.py:53-67``.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    if mean is None:
+        mean = X.mean(axis=0)
+        std = X.std(axis=0, ddof=1)
+    Xn = (X - mean) / std
+    if return_mean_std:
+        return Xn, mean, std
+    return Xn
+
+
+def get_batch_index(n_samples: int, batch_size: int) -> list[tuple[int, int]]:
+    """Contiguous (lo, hi) tiles with remainder tile appended.
+
+    Parity: ``pytod/utils/utility.py:70-103``.
+    """
+    if n_samples <= batch_size:
+        return [(0, n_samples)]
+    out = [(i * batch_size, (i + 1) * batch_size) for i in range(n_samples // batch_size)]
+    if n_samples % batch_size != 0:
+        out.append((out[-1][1], n_samples))
+    return out

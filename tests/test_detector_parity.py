@@ -1,0 +1,96 @@
+"""Score-parity tests: Spark detectors vs the numpy oracle on the F1
+fixture (n=200, d=2, contamination=0.1, seed 42 — mirrors every
+pytod/test/test_*.py setUp). Both physical strategies must agree with
+the oracle within float tolerance (BASELINE.md: 'scores equal within
+float tolerance')."""
+
+import numpy as np
+import pytest
+
+from pytod_spark.detectors import ABOD, ECOD, HBOS, KNN, LOF, PCA
+from pytod_spark.oracle.detectors import (
+    abod_scores,
+    ecod_scores,
+    hbos_scores,
+    knn_scores,
+    lof_scores,
+    pca_scores,
+    process_decision_scores,
+)
+
+CASES = [
+    ("knn", KNN, dict(n_neighbors=5), lambda X: knn_scores(X, 5), 1e-9),
+    ("lof", LOF, dict(n_neighbors=5), lambda X: lof_scores(X, 5), 1e-9),
+    ("ecod", ECOD, dict(), ecod_scores, 1e-9),
+    ("hbos", HBOS, dict(n_bins=10, alpha=0.1), lambda X: hbos_scores(X, 10, 0.1), 1e-9),
+    ("pca", PCA, dict(n_components=2), lambda X: pca_scores(X, 2), 1e-6),
+    ("abod", ABOD, dict(n_neighbors=5), lambda X: abod_scores(X, 5), 1e-6),
+]
+
+
+def _collect_scores(df, id_col="row_id"):
+    return {r[id_col]: r["score"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("name,cls,params,oracle_fn,rtol", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize("strategy", ["kernel", "distributed"])
+def test_score_parity(spark, f1_df, f1_fixture, name, cls, params, oracle_fn, rtol, strategy):
+    X, _ = f1_fixture
+    expected = oracle_fn(X)
+    det = cls(contamination=0.1, strategy=strategy, **params)
+    # small blocks force the multi-tile map/reduce path
+    if hasattr(det, "batch_size"):
+        det.batch_size = 64
+    got = _collect_scores(det.score_df(f1_df))
+    assert len(got) == len(expected)
+    actual = np.array([got[i] for i in range(len(expected))])
+    np.testing.assert_allclose(actual, expected, rtol=rtol, atol=1e-9)
+
+
+def test_threshold_labels_parity(spark, f1_df, f1_fixture):
+    X, _ = f1_fixture
+    exp_scores = knn_scores(X, 5)
+    thr, labels, mu, sigma = process_decision_scores(exp_scores, contamination=0.1)
+    out = KNN(contamination=0.1, n_neighbors=5, strategy="kernel").fit_df(f1_df).collect()
+    by_id = {r["row_id"]: r for r in out}
+    got_labels = np.array([by_id[i]["label"] for i in range(len(exp_scores))])
+    np.testing.assert_array_equal(got_labels, labels)
+    r0 = by_id[0]
+    np.testing.assert_allclose(r0["threshold"], thr, rtol=1e-9)
+    np.testing.assert_allclose(r0["mu"], mu, rtol=1e-9)
+    np.testing.assert_allclose(r0["sigma"], sigma, rtol=1e-9)
+
+
+def test_grouped_detection(spark, f1_fixture):
+    """Two lang groups -> independent per-group scores (drift unit per
+    north_rule); each group must match the oracle run on that group."""
+    X, _ = f1_fixture
+    rows = []
+    for g, lo in (("python", 0), ("java", 100)):
+        for i in range(lo, lo + 100):
+            rows.append((g, int(i), [float(v) for v in X[i]]))
+    df = spark.createDataFrame(rows, "lang string, row_id bigint, features array<double>")
+    out = ECOD(strategy="distributed").score_df(df, group_cols=["lang"]).collect()
+    got = {(r["lang"], r["row_id"]): r["score"] for r in out}
+    for g, lo in (("python", 0), ("java", 100)):
+        expected = ecod_scores(X[lo : lo + 100])
+        actual = np.array([got[(g, i)] for i in range(lo, lo + 100)])
+        np.testing.assert_allclose(actual, expected, rtol=1e-9)
+
+
+def test_contamination_bounds():
+    # parity: pytod/test/test_base.py:133-152
+    with pytest.raises(ValueError):
+        KNN(contamination=0.0)
+    with pytest.raises(ValueError):
+        KNN(contamination=0.51)
+
+
+def test_get_set_params_repr():
+    det = KNN(n_neighbors=7)
+    assert det.get_params()["n_neighbors"] == 7
+    det.set_params(n_neighbors=9)
+    assert det.n_neighbors == 9
+    with pytest.raises(ValueError):
+        det.set_params(bogus=1)
+    assert "KNN(" in repr(det)
