@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship drift query: distributed KNN outlier
+scoring with threshold/labels over the sf0.001 embeddings table
+(pytod knn.py:100-108 + base.py:414-435 semantics).
+
+``queries()`` / ``oracle_sql()`` — the operator catalogue from
+SURVEY.md §2 with DuckDB oracles (see pytod_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from pytod_spark.deploy import ensure_shipped
+    from pytod_spark.detectors import KNN
+
+    ensure_shipped(spark)
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("row_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    det = KNN(contamination=0.1, n_neighbors=5, batch_size=256, strategy="distributed")
+    out = det.fit_df(emb)
+    return out.select(
+        "row_id",
+        F.round("score", 6).alias("score"),
+        F.round("threshold", 6).alias("threshold"),
+        "label",
+    ).orderBy("row_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pytod_spark.deploy import ensure_shipped
+    from pytod_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pytod_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -48,15 +48,49 @@ def _tile_kernel_factory(k: int, p: float):
                 {"__id": "int64", "nbr_id": "int64", "dist": "float64"}
             )
         A = _features_matrix(left["__feat"])
-        B = _features_matrix(right["__feat"])
+        B = _features_matrix(right["__rfeat"])
         D = _np_cdist(A, B, p=p)
         kk = min(k, B.shape[0])
         vals, inds = _np_bottomk(D, kk)
         rid = np.repeat(left["__id"].to_numpy(), kk)
-        nbr = right["__id"].to_numpy()[inds.ravel()]
+        nbr = right["__rid"].to_numpy()[inds.ravel()]
         return pd.DataFrame({"__id": rid, "nbr_id": nbr, "dist": vals.ravel()})
 
     return tile_kernel
+
+
+def tile_sides(df, id_col, features_col, group_cols, n_blocks):
+    """Build the (left, right, left_keys, right_keys) tile frames for a
+    self cogroup join.
+
+    The right side gets entirely fresh column aliases (``__r*``): a
+    cogroup of two frames sharing lineage mis-binds the right side's
+    data columns to the left's expression ids (the analyzed plan shows
+    FlatMapCoGroupsInPandas referencing left exprIds for the right
+    child), which the optimizer may then prune away. Fresh aliases on
+    every right column give the right child disjoint attribute ids, so
+    no dedup/mis-binding can occur.
+    """
+    block_of = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_blocks)).cast("int")  # noqa: E731
+    tiles = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+
+    base = df.select(
+        *group_cols,
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(features_col).cast("array<double>").alias("__feat"),
+    )
+    left = base.withColumn("__bl", block_of("__id")).withColumn("__br", tiles)
+
+    rbase = df.select(
+        *[F.col(c).alias(f"__r_{c}") for c in group_cols],
+        F.col(id_col).cast("long").alias("__rid"),
+        F.col(features_col).cast("array<double>").alias("__rfeat"),
+    )
+    right = rbase.withColumn("__rbr", block_of("__rid")).withColumn("__rbl", tiles)
+
+    left_keys = list(group_cols) + ["__bl", "__br"]
+    right_keys = [f"__r_{c}" for c in group_cols] + ["__rbl", "__rbr"]
+    return left, right, left_keys, right_keys
 
 
 def knn_join(
@@ -79,41 +113,33 @@ def knn_join(
     n = n_rows if n_rows is not None else df.count()
     n_blocks = max(1, math.ceil(n / block_size))
 
-    base = df.select(
-        *group_cols,
-        F.col(id_col).cast("long").alias("__id"),
-        F.col(features_col).cast("array<double>").alias("__feat"),
-    )
-    block = F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int")
-    tiles = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
-
     # left row of block i joins every tile (i, *); right row of block j
     # joins every tile (*, j) — the all-pairs tile loop of the reference,
     # expressed as a cogroup so each tile is one Arrow kernel call.
-    left = base.withColumn("__bl", block).withColumn("__br", tiles)
-    right = base.withColumn("__br", block).withColumn("__bl", tiles)
+    left, right, lkeys, rkeys = tile_sides(df, id_col, features_col, group_cols, n_blocks)
 
-    keys = group_cols + ["__bl", "__br"]
     out_schema = ", ".join(
         [f"`{c}` string" for c in group_cols] + ["__id long", "nbr_id long", "dist double"]
     )
     kernel = _tile_kernel_factory(k, p)
     if group_cols:
-        def keyed_kernel(key, l, r):
+        # group values are read from the left frame (empty-left tiles
+        # emit nothing anyway)
+        def keyed_kernel(l, r):
             res = kernel(l, r)
             for i, c in enumerate(group_cols):
-                res.insert(i, c, key[i])
+                res.insert(i, c, l[c].iloc[0] if len(l) else None)
             return res
 
         candidates = (
-            left.groupBy(*keys)
-            .cogroup(right.groupBy(*keys))
+            left.groupBy(*lkeys)
+            .cogroup(right.groupBy(*rkeys))
             .applyInPandas(keyed_kernel, schema=out_schema)
         )
     else:
         candidates = (
-            left.groupBy(*keys)
-            .cogroup(right.groupBy(*keys))
+            left.groupBy(*lkeys)
+            .cogroup(right.groupBy(*rkeys))
             .applyInPandas(kernel, schema=out_schema)
         )
 

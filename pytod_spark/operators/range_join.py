@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..oracle.operators import cdist as _np_cdist
+from .block_knn import tile_sides
 
 
 def neighbor_within_range(
@@ -39,46 +40,37 @@ def neighbor_within_range(
     n = n_rows if n_rows is not None else df.count()
     n_blocks = max(1, math.ceil(n / block_size))
 
-    base = df.select(
-        *group_cols,
-        F.col(id_col).cast("long").alias("__id"),
-        F.col(features_col).cast("array<double>").alias("__feat"),
-    )
-    block = F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks)).cast("int")
-    tiles = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
-    left = base.withColumn("__bl", block).withColumn("__br", tiles)
-    right = base.withColumn("__br", block).withColumn("__bl", tiles)
-    keys = group_cols + ["__bl", "__br"]
+    left, right, lkeys, rkeys = tile_sides(df, id_col, features_col, group_cols, n_blocks)
 
     theta = float(range_threshold)
 
-    def tile_kernel(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+    def tile_kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if l.empty or r.empty:
             res = pd.DataFrame({"__id": [], "nbr_id": [], "dist": []}).astype(
                 {"__id": "int64", "nbr_id": "int64", "dist": "float64"}
             )
         else:
             A = np.stack(l["__feat"].to_numpy()).astype(np.float64, copy=False)
-            B = np.stack(r["__feat"].to_numpy()).astype(np.float64, copy=False)
+            B = np.stack(r["__rfeat"].to_numpy()).astype(np.float64, copy=False)
             D = _np_cdist(A, B)
             ii, jj = np.nonzero(D <= theta)
             res = pd.DataFrame(
                 {
                     "__id": l["__id"].to_numpy()[ii],
-                    "nbr_id": r["__id"].to_numpy()[jj],
+                    "nbr_id": r["__rid"].to_numpy()[jj],
                     "dist": D[ii, jj],
                 }
             )
         for i, c in enumerate(group_cols):
-            res.insert(i, c, key[i])
+            res.insert(i, c, l[c].iloc[0] if len(l) else None)
         return res
 
     out_schema = ", ".join(
         [f"`{c}` string" for c in group_cols] + ["__id long", "nbr_id long", "dist double"]
     )
     return (
-        left.groupBy(*keys)
-        .cogroup(right.groupBy(*keys))
+        left.groupBy(*lkeys)
+        .cogroup(right.groupBy(*rkeys))
         .applyInPandas(tile_kernel, schema=out_schema)
         .withColumnRenamed("__id", id_col)
     )

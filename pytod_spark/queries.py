@@ -1,0 +1,552 @@
+"""Query catalogue: every operator exposed through ``__spark_entry__``.
+
+Each entry is ``(spark, sf_dir) -> DataFrame`` plus (where the
+semantics are SQL-expressible) a DuckDB oracle SQL string computing
+the same result on the same parquet tables. Column names/aliases match
+exactly between the two; float outputs are rounded (4-6 dp) in BOTH
+engines so value hashes are robust to sub-ulp arithmetic differences.
+
+The catalogue is also the benchmark workload (bench.py runs a subset
+at sf0.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .detectors import ABOD, ECOD, HBOS, KNN, LOF, PCA
+from .operators.block_knn import knn_join, knn_scores_df
+from .operators.range_join import neighbor_within_range
+from .operators.thresholds import add_threshold_labels
+
+K = 5  # detector default, pytod knn.py:65 / lof.py:65 / abod.py:80
+KNN_BLOCK = 512  # small enough to exercise the multi-tile path at sf0.01
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def emb(spark, sf_dir) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("row_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+
+
+# ---------------------------------------------------------------- detectors
+
+
+def q_knn_scores(spark, sf_dir):
+    """kth-NN distance score on embeddings (pytod knn.py:100-108)."""
+    s = knn_scores_df(emb(spark, sf_dir), n_neighbors=K, block_size=KNN_BLOCK)
+    return s.select("row_id", F.round("score", 4).alias("score")).orderBy("row_id")
+
+
+SQL_KNN_SCORES = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+d AS (SELECT a.vec_id AS ai, b.vec_id AS bi, list_distance(a.emb, b.emb) AS dist
+      FROM e a CROSS JOIN e b),
+r AS (SELECT ai, dist, row_number() OVER (PARTITION BY ai ORDER BY dist, bi) AS rn FROM d)
+SELECT ai AS row_id, round(dist, 4) AS score FROM r WHERE rn = {K + 1} ORDER BY row_id
+"""
+
+
+def q_knn_neighbors(spark, sf_dir):
+    """kNN pair list (self excluded), the central kNN-join intermediate
+    (pytod intermediate_layers.py:214-227)."""
+    pairs = knn_join(emb(spark, sf_dir), K + 1, block_size=KNN_BLOCK)
+    return (
+        pairs.where(F.col("rn") >= 2)
+        .select("row_id", (F.col("rn") - 1).alias("rn"), "nbr_id", F.round("dist", 4).alias("dist"))
+        .orderBy("row_id", "rn")
+    )
+
+
+SQL_KNN_NEIGHBORS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+d AS (SELECT a.vec_id AS ai, b.vec_id AS bi, list_distance(a.emb, b.emb) AS dist
+      FROM e a CROSS JOIN e b),
+r AS (SELECT ai, bi, dist, row_number() OVER (PARTITION BY ai ORDER BY dist, bi) AS rn FROM d)
+SELECT ai AS row_id, rn - 1 AS rn, bi AS nbr_id, round(dist, 4) AS dist
+FROM r WHERE rn BETWEEN 2 AND {K + 1} ORDER BY row_id, rn
+"""
+
+
+def q_lof_scores(spark, sf_dir):
+    """LOF via joins over the kNN pair table (pytod lof.py:100-142)."""
+    det = LOF(n_neighbors=K, batch_size=KNN_BLOCK, strategy="distributed")
+    s = det.score_df(emb(spark, sf_dir))
+    return s.select("row_id", F.round("score", 4).alias("score")).orderBy("row_id")
+
+
+SQL_LOF_SCORES = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+d AS (SELECT a.vec_id AS ai, b.vec_id AS bi, list_distance(a.emb, b.emb) AS dist
+      FROM e a CROSS JOIN e b),
+r AS (SELECT ai, bi, dist, row_number() OVER (PARTITION BY ai ORDER BY dist, bi) AS rn FROM d),
+kd AS (SELECT ai AS b, dist AS kdist FROM r WHERE rn = {K + 1}),
+nb AS (SELECT ai, bi, dist FROM r WHERE rn BETWEEN 2 AND {K + 1}),
+reach AS (SELECT nb.ai, greatest(nb.dist, kd.kdist) AS reach FROM nb JOIN kd ON nb.bi = kd.b),
+ar AS (SELECT ai, avg(reach) AS ar FROM reach GROUP BY ai),
+arnn AS (SELECT nb.ai, count(*) / sum(1.0 / arb.ar) AS ar_nn
+         FROM nb JOIN ar arb ON nb.bi = arb.ai GROUP BY nb.ai)
+SELECT ar.ai AS row_id, round(ar.ar / arnn.ar_nn, 4) AS score
+FROM ar JOIN arnn ON ar.ai = arnn.ai ORDER BY row_id
+"""
+
+
+def q_ecod_scores(spark, sf_dir):
+    """ECOD over the 64-dim embeddings — pure window SQL, including the
+    reference's y[argsort] permutation quirk (pytod ecod.py:82-95)."""
+    s = ECOD(strategy="distributed").score_df(emb(spark, sf_dir))
+    return s.select("row_id", F.round("score", 4).alias("score")).orderBy("row_id")
+
+
+SQL_ECOD_SCORES = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+base AS (SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) - 1 AS pos,
+                count(*) OVER () AS n
+         FROM e),
+feat AS (SELECT pos, n, g.j, emb[g.j + 1] AS v
+         FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS j) g),
+ranked AS (SELECT j,
+    row_number() OVER (PARTITION BY j ORDER BY v ASC, pos ASC) - 1 AS out_pos_l,
+    row_number() OVER (PARTITION BY j ORDER BY v DESC, pos ASC) - 1 AS out_pos_r,
+    (pos + 1.0) / n AS u
+  FROM feat),
+o AS (SELECT l.out_pos_l AS out_pos, greatest(-ln(l.u), -ln(r.u)) AS o
+      FROM ranked l JOIN ranked r ON l.j = r.j AND l.out_pos_l = r.out_pos_r),
+s AS (SELECT out_pos, -sum(o) AS score FROM o GROUP BY out_pos)
+SELECT b.vec_id AS row_id, round(s.score, 4) AS score
+FROM s JOIN base b ON s.out_pos = b.pos ORDER BY row_id
+"""
+
+
+def q_hbos_events(spark, sf_dir):
+    """Per-event_type HBOS on the value column (pytod hbos.py:100-130),
+    the single-numeric-feature drift check."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("event_id").alias("row_id"), F.array("value").alias("features")
+    )
+    s = HBOS(n_bins=10, alpha=0.1, strategy="distributed").score_df(
+        ev, group_cols=["event_type"]
+    )
+    return s.select(
+        "event_type", "row_id", F.round("score", 4).alias("score")
+    ).orderBy("row_id")
+
+
+SQL_HBOS_EVENTS = """
+WITH t AS (SELECT event_id, event_type, value FROM events),
+st AS (SELECT event_type, min(value) AS lo, max(value) AS hi, count(*) AS n
+       FROM t GROUP BY event_type),
+j AS (SELECT t.event_id, t.event_type, t.value, st.lo, st.n,
+             CASE WHEN st.hi > st.lo THEN (st.hi - st.lo) / 10 ELSE 1.0 END AS w
+      FROM t JOIN st USING (event_type)),
+hist AS (SELECT event_type, CAST(least(greatest(floor((value - lo) / w), 0), 9) AS INT) AS bin,
+                count(*) AS cnt, any_value(w) AS w2, any_value(n) AS n2
+         FROM j GROUP BY 1, 2),
+dens AS (SELECT event_type, bin, cnt / w2 / n2 AS density FROM hist),
+scored AS (SELECT event_id, event_type,
+                  CAST(least(greatest(ceil((value - lo) / w), 1), 10) - 1 AS INT) AS bin
+           FROM j),
+fin AS (SELECT s.event_id, s.event_type, log2(coalesce(d.density, 0) + 0.1) AS fs
+        FROM scored s LEFT JOIN dens d USING (event_type, bin))
+SELECT event_type, event_id AS row_id, round(-fs, 4) AS score FROM fin ORDER BY row_id
+"""
+
+
+def q_pca_scores(spark, sf_dir):
+    """PCA distance-to-eigenvector score (pytod pca.py:107-123);
+    deterministic eigendecomposition — no SQL oracle (driver records
+    rows-only), parity asserted vs the numpy oracle in pytest."""
+    s = PCA(n_components=5, strategy="distributed").score_df(emb(spark, sf_dir))
+    return s.select("row_id", F.round("score", 4).alias("score")).orderBy("row_id")
+
+
+def q_abod_scores(spark, sf_dir):
+    """Fast ABOD: -var of weighted cosines over C(k,2) neighbor pairs
+    (pytod abod.py:119-169)."""
+    det = ABOD(n_neighbors=K, batch_size=KNN_BLOCK, strategy="distributed")
+    s = det.score_df(emb(spark, sf_dir))
+    # scores are tiny (var of cosines); scale before rounding
+    return s.select(
+        "row_id", F.round(F.col("score") * 1000, 4).alias("score_x1000")
+    ).orderBy("row_id")
+
+
+SQL_ABOD_SCORES = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+d AS (SELECT a.vec_id AS ai, b.vec_id AS bi, a.emb AS aemb, b.emb AS bemb,
+             list_distance(a.emb, b.emb) AS dist
+      FROM e a CROSS JOIN e b),
+r AS (SELECT ai, bi, aemb, bemb, dist,
+             row_number() OVER (PARTITION BY ai ORDER BY dist, bi) AS rn
+      FROM d),
+nb AS (SELECT ai, rn, list_transform(list_zip(bemb, aemb), p -> p[1] - p[2]) AS diff
+       FROM r WHERE rn BETWEEN 2 AND {K + 1}),
+pairs AS (SELECT n1.ai,
+    list_sum(list_transform(list_zip(n1.diff, n2.diff), p -> p[1] * p[2])) /
+    (list_sum(list_transform(n1.diff, x -> x * x)) *
+     list_sum(list_transform(n2.diff, x -> x * x))) AS cos
+  FROM nb n1 JOIN nb n2 ON n1.ai = n2.ai AND n1.rn < n2.rn)
+SELECT ai AS row_id, round(-coalesce(var_samp(cos), 0) * 1000, 4) AS score_x1000
+FROM pairs GROUP BY ai ORDER BY row_id
+"""
+
+
+# --------------------------------------------------------- basic operators
+
+
+def q_ecdf_events(spark, sf_dir):
+    """Reference ECDF construction per event_type (pytod
+    basic_operators.py:226-244): output position = rank, value =
+    (matrix position of that rank's row + 1) / n."""
+    ev = load(spark, sf_dir, "events")
+    gw = Window.partitionBy("event_type")
+    t = ev.select(
+        "event_type",
+        "value",
+        (F.row_number().over(gw.orderBy("event_id")) - 1).alias("pos"),
+        F.count(F.lit(1)).over(gw).alias("n"),
+    )
+    r = t.select(
+        "event_type",
+        (F.row_number().over(gw.orderBy(F.col("value").asc(), F.col("pos").asc())) - 1).alias(
+            "out_pos"
+        ),
+        F.round((F.col("pos") + 1) / F.col("n"), 6).alias("ecdf"),
+    )
+    return r.orderBy("event_type", "out_pos")
+
+
+SQL_ECDF_EVENTS = """
+WITH t AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS pos,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+SELECT event_type,
+       row_number() OVER (PARTITION BY event_type ORDER BY value ASC, pos ASC) - 1 AS out_pos,
+       round((pos + 1.0) / n, 6) AS ecdf
+FROM t ORDER BY event_type, out_pos
+"""
+
+
+def q_hist_events(spark, sf_dir):
+    """histt on events.value (pytod basic_operators.py:261-278):
+    torch.histc floor-binning (max in last bin), density = cnt/width/n."""
+    ev = load(spark, sf_dir, "events")
+    st = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"), F.count("value").alias("n")
+    )
+    j = ev.crossJoin(F.broadcast(st)).withColumn("w", (F.col("hi") - F.col("lo")) / 10)
+    binned = j.withColumn(
+        "bin",
+        F.least(F.greatest(F.floor((F.col("value") - F.col("lo")) / F.col("w")), F.lit(0)), F.lit(9)).cast("int"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.count(F.lit(1)) / F.first("w") / F.first("n"), 8).alias("density"),
+            F.round(F.first("lo") + F.col("bin") * F.first("w"), 4).alias("edge_lo"),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_HIST_EVENTS = """
+WITH st AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events),
+j AS (SELECT value, lo, hi, n, (hi - lo) / 10 AS w FROM events CROSS JOIN st),
+b AS (SELECT CAST(least(greatest(floor((value - lo) / w), 0), 9) AS INT) AS bin,
+             any_value(w) AS w2, any_value(n) AS n2, any_value(lo) AS lo2, count(*) AS cnt
+      FROM j GROUP BY 1)
+SELECT bin, cnt, round(cnt / w2 / n2, 8) AS density, round(lo2 + bin * w2, 4) AS edge_lo
+FROM b ORDER BY bin
+"""
+
+
+def q_standardize_events(spark, sf_dir):
+    """Z-score per event_type with sample std (pytod utility.py:53-67,
+    torch.std ddof=1)."""
+    ev = load(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_STANDARDIZE_EVENTS = """
+WITH st AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, round((e.value - st.mu) / st.sd, 6) AS z
+FROM events e JOIN st USING (event_type) ORDER BY event_id
+"""
+
+
+def q_threshold_labels_events(spark, sf_dir):
+    """Percentile threshold + binary labels (pytod base.py:414-435
+    semantics applied to a plain numeric column, contamination 0.1)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("event_id").alias("row_id"), F.col("value").alias("score")
+    )
+    out = add_threshold_labels(ev, contamination=0.1, group_cols=["event_type"])
+    return out.select(
+        "row_id",
+        "event_type",
+        F.round("threshold", 4).alias("threshold"),
+        F.round("mu", 4).alias("mu"),
+        F.round("sigma", 4).alias("sigma"),
+        "label",
+    ).orderBy("row_id")
+
+
+SQL_THRESHOLD_LABELS_EVENTS = """
+WITH st AS (SELECT event_type,
+                   quantile_cont(value, 0.9) AS thr,
+                   avg(value) AS mu,
+                   stddev_pop(value) AS sigma
+            FROM events GROUP BY event_type)
+SELECT e.event_id AS row_id, e.event_type,
+       round(st.thr, 4) AS threshold, round(st.mu, 4) AS mu, round(st.sigma, 4) AS sigma,
+       CAST(e.value > st.thr AS INT) AS label
+FROM events e JOIN st USING (event_type) ORDER BY row_id
+"""
+
+
+def q_range_join_count(spark, sf_dir):
+    """neighbor_within_range (pytod intermediate_layers.py:92-103):
+    per-row count of neighbors within theta=1.2 (self included)."""
+    pairs = neighbor_within_range(
+        emb(spark, sf_dir), range_threshold=1.2, block_size=KNN_BLOCK
+    )
+    return pairs.groupBy("row_id").agg(F.count(F.lit(1)).alias("n_within")).orderBy("row_id")
+
+
+SQL_RANGE_JOIN_COUNT = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+d AS (SELECT a.vec_id AS ai, list_distance(a.emb, b.emb) AS dist FROM e a CROSS JOIN e b)
+SELECT ai AS row_id, count(*) AS n_within FROM d WHERE dist <= 1.2 GROUP BY ai ORDER BY row_id
+"""
+
+
+def q_intersect_keys(spark, sf_dir):
+    """Set intersection (pytod basic_operators.py:185-205) as the
+    relational INTERSECT it ports."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    return o.intersect(c).orderBy("key")
+
+
+SQL_INTERSECT_KEYS = """
+SELECT o_custkey AS key FROM orders INTERSECT SELECT c_custkey AS key FROM customer ORDER BY key
+"""
+
+
+def q_topk_orders(spark, sf_dir):
+    """Per-group top-k (pytod basic_operators.py:54-75 as a window)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+SQL_TOPK_ORDERS = """
+WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+SELECT o_orderpriority, rn, o_orderkey, round(o_totalprice, 2) AS total
+FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn
+"""
+
+
+# ------------------------------------------------------- validation checks
+
+
+def q_stats_profile(spark, sf_dir):
+    """Per-column stats profile of lineitem numerics (null rate, exact
+    distinct, min/max/mean/std/median) — the engine's column-stats
+    pass in oracle-checkable (exact-distinct) form."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = []
+    for c in cols:
+        parts.append(
+            li.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.round(F.min(c), 4).alias("min_v"),
+                F.round(F.max(c), 4).alias("max_v"),
+                F.round(F.avg(c), 4).alias("mean_v"),
+                F.round(F.stddev_samp(c), 4).alias("std_v"),
+                F.round(F.percentile(F.col(c), F.lit(0.5)), 4).alias("p50"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("col_name")
+
+
+SQL_STATS_PROFILE = """
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null,
+         count(DISTINCT l_quantity) AS n_distinct,
+         round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+         round(avg(l_quantity), 4) AS mean_v, round(stddev_samp(l_quantity), 4) AS std_v,
+         round(quantile_cont(l_quantity, 0.5), 4) AS p50
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(*),
+         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT l_extendedprice),
+         round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+         round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
+         round(quantile_cont(l_extendedprice, 0.5), 4)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(*),
+         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT l_discount),
+         round(min(l_discount), 4), round(max(l_discount), 4),
+         round(avg(l_discount), 4), round(stddev_samp(l_discount), 4),
+         round(quantile_cont(l_discount, 0.5), 4)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', count(*),
+         sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT l_tax),
+         round(min(l_tax), 4), round(max(l_tax), 4),
+         round(avg(l_tax), 4), round(stddev_samp(l_tax), 4),
+         round(quantile_cont(l_tax, 0.5), 4)
+  FROM lineitem
+) ORDER BY col_name
+"""
+
+
+def q_uniqueness_lineitem(spark, sf_dir):
+    """Uniqueness check on the (l_orderkey, l_linenumber) key —
+    summary row (north_rule uniqueness on (repo, path, commit))."""
+    li = load(spark, sf_dir, "lineitem")
+    keys = li.groupBy("l_orderkey", "l_linenumber").agg(F.count(F.lit(1)).alias("cnt"))
+    return keys.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_keys"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("n_dup_rows"),
+    )
+
+
+SQL_UNIQUENESS_LINEITEM = """
+WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2)
+SELECT sum(cnt) AS n_rows, count(*) AS n_keys,
+       sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_rows
+FROM k
+"""
+
+
+def q_ri_orders_customer(spark, sf_dir):
+    """Referential integrity orders.o_custkey -> customer.c_custkey via
+    left-anti join (north_rule repo->commit RI); summary row."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    orphans = o.join(c, on="o_custkey", how="left_anti")
+    n_child = o.count()
+    return orphans.agg(
+        F.lit(n_child).alias("n_child"),
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.count_distinct("o_custkey").alias("n_orphan_keys"),
+    )
+
+
+SQL_RI_ORDERS_CUSTOMER = """
+SELECT (SELECT count(*) FROM orders) AS n_child,
+       count(*) AS n_orphans,
+       count(DISTINCT o_custkey) AS n_orphan_keys
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def q_ri_lineitem_orders(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
+    orphans = li.join(o, on="l_orderkey", how="left_anti")
+    n_child = li.count()
+    return orphans.agg(
+        F.lit(n_child).alias("n_child"),
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.count_distinct("l_orderkey").alias("n_orphan_keys"),
+    )
+
+
+SQL_RI_LINEITEM_ORDERS = """
+SELECT (SELECT count(*) FROM lineitem) AS n_child,
+       count(*) AS n_orphans,
+       count(DISTINCT l_orderkey) AS n_orphan_keys
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
+QUERIES = {
+    "knn_scores": q_knn_scores,
+    "knn_neighbors": q_knn_neighbors,
+    "lof_scores": q_lof_scores,
+    "ecod_scores": q_ecod_scores,
+    "hbos_events": q_hbos_events,
+    "pca_scores": q_pca_scores,
+    "abod_scores": q_abod_scores,
+    "ecdf_events": q_ecdf_events,
+    "hist_events": q_hist_events,
+    "standardize_events": q_standardize_events,
+    "threshold_labels_events": q_threshold_labels_events,
+    "range_join_count": q_range_join_count,
+    "intersect_keys": q_intersect_keys,
+    "topk_orders": q_topk_orders,
+    "stats_profile": q_stats_profile,
+    "uniqueness_lineitem": q_uniqueness_lineitem,
+    "ri_orders_customer": q_ri_orders_customer,
+    "ri_lineitem_orders": q_ri_lineitem_orders,
+}
+
+ORACLES = {
+    "knn_scores": SQL_KNN_SCORES,
+    "knn_neighbors": SQL_KNN_NEIGHBORS,
+    "lof_scores": SQL_LOF_SCORES,
+    "ecod_scores": SQL_ECOD_SCORES,
+    "hbos_events": SQL_HBOS_EVENTS,
+    "abod_scores": SQL_ABOD_SCORES,
+    # pca_scores: intentionally no SQL oracle (driver-side eigh); rows-only
+    "ecdf_events": SQL_ECDF_EVENTS,
+    "hist_events": SQL_HIST_EVENTS,
+    "standardize_events": SQL_STANDARDIZE_EVENTS,
+    "threshold_labels_events": SQL_THRESHOLD_LABELS_EVENTS,
+    "range_join_count": SQL_RANGE_JOIN_COUNT,
+    "intersect_keys": SQL_INTERSECT_KEYS,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "stats_profile": SQL_STATS_PROFILE,
+    "uniqueness_lineitem": SQL_UNIQUENESS_LINEITEM,
+    "ri_orders_customer": SQL_RI_ORDERS_CUSTOMER,
+    "ri_lineitem_orders": SQL_RI_LINEITEM_ORDERS,
+}
