@@ -1,0 +1,109 @@
+"""Text-analysis column builders (all JVM-side Catalyst expressions).
+
+Training-data pipeline features over a document/text column: token
+counts, shingles, quality signals, language-ID scores, fingerprints.
+Everything here is a pure Column expression (split/transform/
+aggregate/regexp) so it stays inside whole-stage codegen — no Python
+in the hot path; the DuckDB oracle SQL mirrors each formula exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny, fixed stopword lists for the language-ID heuristic (shared
+# verbatim with the oracle SQL; accuracy is a measured output, not a
+# promise)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "en", "para"],
+}
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}\-]"
+# BPE-ish token pattern: letter runs | digit runs | single punctuation
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.lower(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Whitespace-free tokenizer proxy: counts BPE-ish units."""
+    return F.regexp_count(F.lower(col), F.lit(BPE_PATTERN))
+
+
+def avg_token_len(col: Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    return total.cast("double") / F.size(t)
+
+
+def punct_ratio(col: Column) -> Column:
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+    ).cast("double") / F.length(col)
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    t = tokens(col)
+    return F.aggregate(
+        F.transform(t, lambda x: F.when(x.isin(*words), 1).otherwise(0)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return stopword_hits(col, lang).cast("double") / token_count(col)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined), the MinHash/LSH
+    input unit. Documents with < n tokens yield an empty array."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def md5_hash60(col: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex digits of md5.
+
+    Chosen because both Spark (conv(substr(md5, 1, 15), 16, 10)) and
+    DuckDB (('0x' || substr(md5, 1, 15))::BIGINT) compute the exact
+    same value — the cross-engine-stable base hash for MinHash /
+    SimHash / fingerprints.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def char_ngram_fingerprint(col: Column, n: int = 5) -> Column:
+    """Winnowing-lite document fingerprint: min over the 60-bit hashes
+    of all character n-grams (rolling-hash fingerprint family)."""
+    idx = F.sequence(F.lit(1), F.length(col) - n + 1)
+    hashes = F.transform(idx, lambda i: md5_hash60(F.substr(col, i, F.lit(n))))
+    return F.when(F.length(col) >= n, F.array_min(hashes)).otherwise(md5_hash60(col))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards moderate length,
+    low punctuation density, and presence of stopwords (fixed weights,
+    mirrored in the oracle SQL)."""
+    n_tok = token_count(col)
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col, "en") * 4, F.lit(1.0))
+    return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 6)

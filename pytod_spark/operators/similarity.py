@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns.
+
+* ``cosine_topk_join``  — brute-force top-k cosine neighbors via the
+  same block-tile cogroup machinery as the kNN join (baseline path).
+* ``cosine_pairs``      — all pairs above a cosine threshold
+  (embedding near-dup dedup).
+* ``rp_lsh_buckets`` / ``rp_lsh_candidate_pairs`` — random-hyperplane
+  LSH (fixed seed): sign-bit signature over R projections, bucket
+  join on the signature — the scale path that avoids the quadratic
+  pair space; refine candidates with exact cosine.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .block_knn import tile_sides
+
+
+def _norm_rows(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def cosine_topk_join(
+    df: DataFrame,
+    k: int,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    block_size: int = 4096,
+    n_rows: int | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """Top-k cosine neighbors per row (excluding self by default).
+
+    Same map/reduce shape as the kNN join: per-tile partial top-k
+    below the shuffle, window merge above it.
+    """
+    n = n_rows if n_rows is not None else df.count()
+    n_blocks = max(1, math.ceil(n / block_size))
+    left, right, lkeys, rkeys = tile_sides(df, id_col, features_col, [], n_blocks)
+
+    kk = k if include_self else k + 1
+
+    def tile_kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty or r.empty:
+            return pd.DataFrame({"__id": [], "nbr_id": [], "cos": []}).astype(
+                {"__id": "int64", "nbr_id": "int64", "cos": "float64"}
+            )
+        A = _norm_rows(np.stack(l["__feat"].to_numpy()).astype(np.float64, copy=False))
+        B = _norm_rows(np.stack(r["__rfeat"].to_numpy()).astype(np.float64, copy=False))
+        S = A @ B.T
+        kk2 = min(kk, B.shape[0])
+        idx = np.argpartition(-S, kth=kk2 - 1, axis=1)[:, :kk2]
+        vals = np.take_along_axis(S, idx, axis=1)
+        return pd.DataFrame(
+            {
+                "__id": np.repeat(l["__id"].to_numpy(), kk2),
+                "nbr_id": r["__rid"].to_numpy()[idx.ravel()],
+                "cos": vals.ravel(),
+            }
+        )
+
+    cands = (
+        left.groupBy(*lkeys)
+        .cogroup(right.groupBy(*rkeys))
+        .applyInPandas(tile_kernel, schema="__id long, nbr_id long, cos double")
+    )
+    if not include_self:
+        cands = cands.where(F.col("__id") != F.col("nbr_id"))
+    w = Window.partitionBy("__id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    block_size: int = 4096,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold (embedding near-dup)."""
+    n = n_rows if n_rows is not None else df.count()
+    n_blocks = max(1, math.ceil(n / block_size))
+    left, right, lkeys, rkeys = tile_sides(df, id_col, features_col, [], n_blocks)
+    t = float(threshold)
+
+    def tile_kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty or r.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cos": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cos": "float64"}
+            )
+        A = _norm_rows(np.stack(l["__feat"].to_numpy()).astype(np.float64, copy=False))
+        B = _norm_rows(np.stack(r["__rfeat"].to_numpy()).astype(np.float64, copy=False))
+        S = A @ B.T
+        ia = l["__id"].to_numpy()
+        ib = r["__rid"].to_numpy()
+        ii, jj = np.nonzero(S >= t)
+        keep = ia[ii] < ib[jj]
+        return pd.DataFrame(
+            {"doc_a": ia[ii][keep], "doc_b": ib[jj][keep], "cos": S[ii, jj][keep]}
+        )
+
+    return (
+        left.groupBy(*lkeys)
+        .cogroup(right.groupBy(*rkeys))
+        .applyInPandas(tile_kernel, schema="doc_a long, doc_b long, cos double")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane signature: bit_i = (x . h_i) >= 0. Vectors
+    with equal signatures are near-duplicate candidates. Pure column
+    arithmetic: the (small) plane matrix is inlined as literal
+    expressions, so the whole thing stays in codegen."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    feats = F.col(features_col).cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        dot = None
+        for j in range(dim):
+            term = F.element_at(feats, j + 1) * float(planes[i, j])
+            dot = term if dot is None else dot + term
+        sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(0)
+    return df.select(F.col(id_col), sig.alias("bucket"))
+
+
+def rp_lsh_candidate_pairs(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    seed: int = 42,
+) -> DataFrame:
+    b = rp_lsh_buckets(df, dim, n_planes, id_col, features_col, seed)
+    a = b.select(F.col("bucket"), F.col(id_col).alias("doc_a"))
+    c = b.select(F.col("bucket").alias("bucket_r"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(c, on=[a["bucket"] == c["bucket_r"], a["doc_a"] < c["doc_b"]])
+        .select("doc_a", "doc_b")
+    )

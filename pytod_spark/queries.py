@@ -509,6 +509,13 @@ FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.
 """
 
 
+def _merge_extra():
+    from .queries_text import TEXT_ORACLES, TEXT_QUERIES
+
+    QUERIES.update(TEXT_QUERIES)
+    ORACLES.update(TEXT_ORACLES)
+
+
 QUERIES = {
     "knn_scores": q_knn_scores,
     "knn_neighbors": q_knn_neighbors,
@@ -550,3 +557,6 @@ ORACLES = {
     "ri_orders_customer": SQL_RI_ORDERS_CUSTOMER,
     "ri_lineitem_orders": SQL_RI_LINEITEM_ORDERS,
 }
+
+
+_merge_extra()

@@ -1,0 +1,370 @@
+"""Query catalogue, part 2: training-data pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing) with
+DuckDB oracles. Merged into the main catalogue by queries.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators.multimodal import attach_binary_payload, extract_metadata
+from .queries import emb, load
+
+P = D.MINHASH_P
+
+# ---------------------------------------------------------------- helpers
+
+_DUCK_TOKS = "string_split_regex(lower(text), '\\s+')"
+_DUCK_SHINGLES = f"""
+CASE WHEN len({_DUCK_TOKS}) >= 3
+     THEN list_distinct(list_transform(range(1, len({_DUCK_TOKS}) - 1),
+          i -> concat({_DUCK_TOKS}[i], ' ', {_DUCK_TOKS}[i+1], ' ', {_DUCK_TOKS}[i+2])))
+     ELSE [] END
+"""
+
+
+def _duck_hash60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ------------------------------------------------------------ text features
+
+
+def q_text_features(spark, sf_dir):
+    """Quality-scoring feature set per document (length, token stats,
+    punctuation, stopword ratio, composite quality score)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.round(T.avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(t, "en"), 6).alias("stop_ratio_en"),
+        T.quality_score(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_FEATURES = f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, text, toks,
+        length(text) AS n_chars,
+        len(toks) AS n_tokens,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+        list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS atl,
+        (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}\\-]', '', 'g')))::DOUBLE
+            / length(text) AS pr,
+        list_sum(list_transform(toks, x -> CASE WHEN x IN
+          ('the','a','and','of','to','in','is','on','for','with') THEN 1 ELSE 0 END))::DOUBLE
+            / len(toks) AS sr
+      FROM t)
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+       round(atl, 6) AS avg_token_len,
+       round(pr, 6) AS punct_ratio,
+       round(sr, 6) AS stop_ratio_en,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * (1.0 - least(pr * 5, 1.0))
+           + 0.3 * least(sr * 4, 1.0), 6) AS quality
+FROM b ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-list language-ID heuristic + accuracy vs the actual
+    lang column (deterministic argmax, tiebreak en>de>fr>es)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    hits = {lang: T.stopword_hits(t, lang) for lang in ("en", "de", "fr", "es")}
+    g = F.greatest(*hits.values())
+    pred = (
+        F.when(hits["en"] == g, "en")
+        .when(hits["de"] == g, "de")
+        .when(hits["fr"] == g, "fr")
+        .otherwise("es")
+    )
+    out = d.select(
+        "doc_id",
+        *[hits[lang].alias(f"hits_{lang}") for lang in ("en", "de", "fr", "es")],
+        pred.alias("pred_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+    return out.withColumn(
+        "correct", (F.col("pred_lang") == F.col("actual_lang")).cast("int")
+    ).orderBy("doc_id")
+
+
+def _duck_hits(words: list[str]) -> str:
+    quoted = ",".join(f"'{w}'" for w in words)
+    return (
+        f"list_sum(list_transform({_DUCK_TOKS}, x -> CASE WHEN x IN ({quoted}) "
+        f"THEN 1 ELSE 0 END))"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH h AS (SELECT doc_id, lang,
+    coalesce({_duck_hits(T.STOPWORDS['en'])}, 0) AS hits_en,
+    coalesce({_duck_hits(T.STOPWORDS['de'])}, 0) AS hits_de,
+    coalesce({_duck_hits(T.STOPWORDS['fr'])}, 0) AS hits_fr,
+    coalesce({_duck_hits(T.STOPWORDS['es'])}, 0) AS hits_es
+  FROM documents),
+p AS (SELECT *, greatest(hits_en, hits_de, hits_fr, hits_es) AS g FROM h)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN hits_en = g THEN 'en' WHEN hits_de = g THEN 'de'
+            WHEN hits_fr = g THEN 'fr' ELSE 'es' END AS pred_lang,
+       lang AS actual_lang,
+       CASE WHEN (CASE WHEN hits_en = g THEN 'en' WHEN hits_de = g THEN 'de'
+                       WHEN hits_fr = g THEN 'fr' ELSE 'es' END) = lang
+            THEN 1 ELSE 0 END AS correct
+FROM p ORDER BY doc_id
+"""
+
+
+def q_token_entropy(spark, sf_dir):
+    """Shannon entropy of the per-doc token distribution (the
+    token_entropy drift feature from BASELINE north_star), via the
+    closed form ln(n) - sum(c*ln(c))/n."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tc.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+            ).alias("token_entropy")
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
+FROM tc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    """Rolling-hash document fingerprint: min 60-bit hash over char
+    5-grams (winnowing-lite)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.char_ngram_fingerprint(F.col("text"), 5).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+SQL_FINGERPRINT_DOCS = f"""
+SELECT doc_id,
+  CASE WHEN length(text) >= 5
+       THEN list_min(list_transform(range(1, length(text) - 3),
+            i -> {_duck_hash60('substr(text, i, 5)')}))
+       ELSE {_duck_hash60('text')} END AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.exact_duplicates(d).orderBy("text_sha")
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS text_sha, count(*) AS n_copies, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 ORDER BY text_sha
+"""
+
+
+def q_dedup_ngram_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, threshold=0.5, group_cols=["lang"]).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+SQL_DEDUP_NGRAM_PAIRS = f"""
+WITH sh AS (SELECT doc_id, lang, {_DUCK_SHINGLES} AS sh FROM documents),
+p AS (SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        len(list_intersect(a.sh, b.sh))::DOUBLE /
+        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+SELECT lang, doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM p WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def _sql_minhash_pairs() -> str:
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(D.MINHASH_COEFFS)
+    )
+    band_rows = []
+    for band in range(D.N_BANDS):
+        cols = [f"m{band * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
+        key = " || '_' || ".join(cols)
+        band_rows.append(f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM sig")
+    bands = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+h AS (SELECT doc_id, {_duck_hash60('shingle')} % {P} AS h FROM ex),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+banded AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+v AS (SELECT c.doc_a, c.doc_b,
+        len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+      FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM v WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+"""
+
+
+SQL_MINHASH_PAIRS = _sql_minhash_pairs()
+
+
+def q_simhash_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, max_hamming=2, group_cols=["lang"]).orderBy("doc_a", "doc_b")
+
+
+def _sql_simhash_pairs() -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(16)
+    )
+    sim = " + ".join(f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, {_duck_hash60('tok')} AS h FROM tok),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sim AS (SELECT s.doc_id, d.lang, ({sim})::BIGINT AS simhash
+        FROM s JOIN documents d ON s.doc_id = d.doc_id)
+SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
+# -------------------------------------------------------------- similarity
+
+
+def q_embedding_neardup(spark, sf_dir):
+    e = emb(spark, sf_dir)
+    pairs = S.cosine_pairs(e, threshold=0.4, block_size=512)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("cos", 4).alias("cos")
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, list_transform(emb, x -> x / sqrt(list_sum(list_transform(emb, y -> y * y)))) AS u
+      FROM e),
+p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        list_sum(list_transform(list_zip(a.u, b.u), q -> q[1] * q[2])) AS cos
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT doc_a, doc_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY doc_a, doc_b
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = emb(spark, sf_dir)
+    out = S.cosine_topk_join(e, k=3, block_size=512)
+    return out.select(
+        "row_id", "rn", "nbr_id", F.round("cos", 4).alias("cos")
+    ).orderBy("row_id", "rn")
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT vec_id, list_transform(emb, x -> x / sqrt(list_sum(list_transform(emb, y -> y * y)))) AS u
+      FROM e),
+p AS (SELECT a.vec_id AS row_id, b.vec_id AS nbr_id,
+        list_sum(list_transform(list_zip(a.u, b.u), q -> q[1] * q[2])) AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+r AS (SELECT row_id, nbr_id, cos,
+        row_number() OVER (PARTITION BY row_id ORDER BY cos DESC, nbr_id ASC) AS rn
+      FROM p)
+SELECT row_id, rn, nbr_id, round(cos, 4) AS cos FROM r WHERE rn <= 3 ORDER BY row_id, rn
+"""
+
+
+def q_rp_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket sizes (scale path for ANN /
+    near-dup candidate generation); no SQL oracle (numpy-seeded
+    hyperplanes), rows-only check + pytest property test."""
+    e = emb(spark, sf_dir)
+    b = S.rp_lsh_buckets(e, dim=64, n_planes=12)
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs")).orderBy("bucket")
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    """Binary-payload metadata extraction via Arrow mapInPandas; the
+    deterministic fake header parse is mirrored in the oracle SQL."""
+    d = load(spark, sf_dir, "documents")
+    payload = attach_binary_payload(d)
+    return extract_metadata(payload).orderBy("doc_id")
+
+
+SQL_MULTIMODAL_METADATA = """
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       sha256(text) AS payload_sha,
+       16 + ('0x' || substr(sha256(text), 1, 2))::INT % 64 AS width,
+       16 + ('0x' || substr(sha256(text), 3, 2))::INT % 64 AS height,
+       1 + ('0x' || substr(sha256(text), 5, 2))::INT % 3 AS channels
+FROM documents ORDER BY doc_id
+"""
+
+
+TEXT_QUERIES = {
+    "text_features": q_text_features,
+    "lang_id": q_lang_id,
+    "token_entropy": q_token_entropy,
+    "fingerprint_docs": q_fingerprint_docs,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_pairs": q_dedup_ngram_pairs,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "cosine_topk": q_cosine_topk,
+    "rp_lsh_buckets": q_rp_lsh_buckets,
+    "multimodal_metadata": q_multimodal_metadata,
+}
+
+TEXT_ORACLES = {
+    "text_features": SQL_TEXT_FEATURES,
+    "lang_id": SQL_LANG_ID,
+    "token_entropy": SQL_TOKEN_ENTROPY,
+    "fingerprint_docs": SQL_FINGERPRINT_DOCS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "cosine_topk": SQL_COSINE_TOPK,
+    # rp_lsh_buckets: rows-only (numpy-seeded hyperplanes)
+    "multimodal_metadata": SQL_MULTIMODAL_METADATA,
+}

@@ -1,0 +1,137 @@
+"""Tests for training-pipeline operators: dedup, similarity, text
+features, multimodal plumbing — property/injection tests that the
+DuckDB oracle gate can't express (planted duplicates, LSH recall,
+stubbed decode)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pytod_spark.operators import dedup as D
+from pytod_spark.operators import similarity as S
+from pytod_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    extract_metadata,
+    image_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different document about spark query engines",
+        "rows columns shuffles joins aggregations windows and sorts",
+        "pandas arrow batches flow through vectorized kernels fast",
+    ]
+    rows = []
+    i = 0
+    for txt in base:
+        for copy in range(2):  # exact duplicate of every doc
+            rows.append((i, txt, "en"))
+            i += 1
+    # near-duplicate: one word changed
+    rows.append((i, base[0].replace("tonight", "today"), "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = D.exact_duplicates(docs).collect()
+    assert len(out) == 5  # 4 distinct + 1 near-dup
+    assert sorted(r["n_copies"] for r in out) == [1, 2, 2, 2, 2]
+
+
+def test_ngram_jaccard_finds_planted_neardup(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, group_cols=["lang"]).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in got  # exact copies -> jaccard 1.0
+    assert (0, 8) in got or (1, 8) in got  # near-dup above 0.5
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert j[(0, 1)] == 1.0
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates must contain every true pair at this similarity
+    level (16 perms, 4x4 bands — collision prob at j=1.0 is 1)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_dedup_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact, "fixture must contain exact dups"
+    assert exact <= lsh | exact  # sanity
+    assert exact == lsh  # at j>=0.9 recall must be total
+
+
+def test_simhash_identical_docs_zero_hamming(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash16(docs).collect()}
+    assert sh[0] == sh[1]  # identical text -> identical simhash
+    pairs = D.simhash_pairs(docs, max_hamming=0, group_cols=["lang"]).collect()
+    assert any(r["doc_a"] == 0 and r["doc_b"] == 1 for r in pairs)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(60, 8))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(60)],
+        "row_id long, features array<double>",
+    )
+    out = S.cosine_topk_join(df, k=3, block_size=25).collect()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn @ Xn.T
+    np.fill_diagonal(C, -np.inf)
+    for r in out:
+        expected_nbrs = np.argsort(-C[r["row_id"]], kind="stable")[:3]
+        if r["rn"] == 1:
+            assert r["nbr_id"] == expected_nbrs[0]
+        np.testing.assert_allclose(r["cos"], C[r["row_id"], r["nbr_id"]], rtol=1e-9)
+
+
+def test_rp_lsh_buckets_group_identical_vectors(spark):
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(20, 16))
+    X[10] = X[0]  # identical vector must share the bucket
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(20)],
+        "row_id long, features array<double>",
+    )
+    b = {r["row_id"]: r["bucket"] for r in S.rp_lsh_buckets(df, dim=16).collect()}
+    assert b[0] == b[10]
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in S.rp_lsh_candidate_pairs(df, dim=16).collect()
+    }
+    assert (0, 10) in cands
+
+
+def test_multimodal_metadata_and_stub(spark, docs):
+    payload = attach_binary_payload(docs)
+    meta = extract_metadata(payload).collect()
+    assert len(meta) == 9
+    by_id = {r["doc_id"]: r for r in meta}
+    assert by_id[0]["payload_sha"] == by_id[1]["payload_sha"]  # same bytes
+    assert all(16 <= r["width"] < 80 and 1 <= r["channels"] <= 3 for r in meta)
+    # real decode is stubbed; fake decode is deterministic
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx")
+    img1 = decode_image(b"payload", fake=True)
+    img2 = decode_image(b"payload", fake=True)
+    np.testing.assert_array_equal(img1, img2)
+    feats = image_features(payload).collect()
+    assert len(feats) == 9 and all(0 <= r["pix_mean"] <= 255 for r in feats)
+
+
+def test_quality_and_entropy_bounds(spark, docs):
+    from pytod_spark.functions import text as T
+
+    out = docs.select(
+        T.quality_score(F.col("text")).alias("q"),
+        T.token_count(F.col("text")).alias("n"),
+    ).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in out)
+    assert all(r["n"] > 0 for r in out)
