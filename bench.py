@@ -1,0 +1,127 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ..., "files_per_sec": ...}.
+
+Also benchmarks the validation suite itself (files validated/sec, the
+BASELINE.json headline) over a cached deterministic synthetic corpus;
+generation cost is excluded (cached parquet).
+
+Flags:
+  --suite-only     run only the validation suite (used by the scaling
+                   harness at two parallelism levels)
+  --rows N         corpus size for the suite benchmark (default 100000)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "knn_scores",
+    "lof_scores",
+    "abod_scores",
+    "ecod_scores",
+    "pca_scores",
+    "hbos_events",
+    "ecdf_events",
+    "stats_profile",
+    "uniqueness_lineitem",
+    "ri_lineitem_orders",
+    "text_features",
+    "token_entropy",
+    "minhash_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "embedding_neardup",
+    "drift_verdicts",
+    "multimodal_metadata",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite-only", action="store_true")
+    ap.add_argument("--rows", type=int, default=int(os.environ.get("BENCH_ROWS", 100_000)))
+    ap.add_argument("--skip-suite", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from pytod_spark.deploy import ensure_shipped
+    from pytod_spark.session import get_spark
+
+    spark = get_spark(
+        "pytod_spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, int(cpus)),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    ensure_shipped(spark)
+    timings: dict[str, float] = {}
+
+    if not args.suite_only:
+        from pytod_spark.queries import QUERIES
+
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _materialize(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+
+    files_per_sec = None
+    if not args.skip_suite:
+        from pytod_spark.datagen import generate_repo_table, repo_commits_dim
+        from pytod_spark.validation import ValidationSuite
+
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache", f"corpus_{args.rows}")
+        if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+            generate_repo_table(spark, args.rows, seed=42).write.mode("overwrite").parquet(cache)
+            repo_commits_dim(spark, args.rows, seed=42).write.mode("overwrite").parquet(
+                cache + "_parent"
+            )
+        corpus = spark.read.parquet(cache)
+        parent = spark.read.parquet(cache + "_parent")
+        run_dir = os.path.join("/tmp", f"pytod_bench_run_{os.getpid()}")
+        shutil.rmtree(run_dir, ignore_errors=True)
+        t0 = time.time()
+        metrics = ValidationSuite(contamination=0.1).run(
+            spark, corpus, run_dir, parent=parent, resume=False
+        )
+        timings["validation_suite"] = round(time.time() - t0, 3)
+        files_per_sec = round(metrics["files_per_sec"], 1)
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "files_per_sec": files_per_sec,
+        "suite_rows": args.rows if not args.skip_suite else 0,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""spark-submit entrypoint.
+
+Usage (cluster):
+    spark-submit --py-files pytod_spark.zip -m pytod_spark.cli validate \\
+        --input s3://corpus/files --parent s3://corpus/commits \\
+        --run-dir s3://runs/2026-08-16 [--no-resume]
+
+Sandbox:
+    python -m pytod_spark.cli generate --rows 100000 --out /tmp/corpus
+    python -m pytod_spark.cli validate --input /tmp/corpus --run-dir /tmp/run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .datagen import generate_repo_table, repo_commits_dim
+from .deploy import ensure_shipped
+from .session import get_spark
+from .validation import ValidationSuite
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pytod_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write the deterministic synthetic corpus")
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--out", required=True)
+    g.add_argument("--parent-out", default=None)
+
+    v = sub.add_parser("validate", help="run the validation suite")
+    v.add_argument("--input", required=True, help="parquet dir of (repo,path,commit,lang,content)")
+    v.add_argument("--parent", default=None, help="parquet dir of the (repo,commit) dimension")
+    v.add_argument("--run-dir", required=True)
+    v.add_argument("--detector", default="hbos", choices=["hbos", "knn", "lof", "ecod", "pca", "abod"])
+    v.add_argument("--contamination", type=float, default=0.1)
+    v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--master", default=None)
+
+    args = p.parse_args(argv)
+    spark = get_spark("pytod_spark-cli", master=getattr(args, "master", None))
+    ensure_shipped(spark)
+
+    if args.cmd == "generate":
+        df = generate_repo_table(spark, args.rows, seed=args.seed)
+        df.write.mode("overwrite").parquet(args.out)
+        if args.parent_out:
+            repo_commits_dim(spark, args.rows, seed=args.seed).write.mode(
+                "overwrite"
+            ).parquet(args.parent_out)
+        print(json.dumps({"rows_written": spark.read.parquet(args.out).count()}))
+        return 0
+
+    df = spark.read.parquet(args.input)
+    parent = spark.read.parquet(args.parent) if args.parent else None
+    suite = ValidationSuite(detector=args.detector, contamination=args.contamination)
+    metrics = suite.run(spark, df, args.run_dir, parent=parent, resume=not args.no_resume)
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

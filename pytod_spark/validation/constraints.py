@@ -1,0 +1,74 @@
+"""Uniqueness and referential-integrity checks -> violation rows +
+per-partition summaries (north_rule: uniqueness on (repo, path,
+commit); RI repo -> commit).
+
+Shapes chosen for skew survival: uniqueness is a partial-aggregating
+groupBy on the key (map-side combine absorbs the giant-repo key
+space); RI is a left-anti join that broadcasts automatically when the
+parent fits (commit dimension per repo is small), else sort-merge
+with AQE skew splitting."""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def uniqueness_violations(
+    df: DataFrame, keys: Iterable[str], group_cols: Iterable[str] = ()
+) -> DataFrame:
+    """Rows of duplicated business keys: key columns + n_copies (> 1)."""
+    keys = list(keys)
+    group_cols = [c for c in group_cols if c not in keys]
+    return (
+        df.groupBy(*group_cols, *keys)
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def uniqueness_summary(
+    df: DataFrame, keys: Iterable[str], group_cols: Iterable[str] = ()
+) -> DataFrame:
+    keys = list(keys)
+    group_cols = list(group_cols)
+    per_key = df.groupBy(*group_cols, *keys).agg(F.count(F.lit(1)).alias("cnt"))
+    aggs = [
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_keys"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0)).alias("n_extra_rows"),
+    ]
+    return per_key.groupBy(*group_cols).agg(*aggs) if group_cols else per_key.agg(*aggs)
+
+
+def ri_violations(
+    child: DataFrame, parent: DataFrame, keys: Iterable[str],
+    child_cols: Iterable[str] = (),
+) -> DataFrame:
+    """Child rows whose key has no parent (left-anti join)."""
+    keys = list(keys)
+    out_cols = list(child_cols) or child.columns
+    return child.join(parent.select(*keys).distinct(), on=keys, how="left_anti").select(
+        *out_cols
+    )
+
+
+def ri_summary(
+    child: DataFrame, parent: DataFrame, keys: Iterable[str],
+    group_cols: Iterable[str] = (),
+) -> DataFrame:
+    keys = list(keys)
+    group_cols = list(group_cols)
+    flagged = child.join(
+        parent.select(*keys).distinct().withColumn("__ok", F.lit(1)),
+        on=keys,
+        how="left",
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.col("__ok").isNull().cast("long")).alias("n_orphans"),
+    ]
+    return flagged.groupBy(*group_cols).agg(*aggs) if group_cols else flagged.agg(*aggs)

@@ -1,0 +1,104 @@
+"""End-to-end engine tests: injected violations detected exactly,
+drift recall on planted anomalies, and checkpoint/resume semantics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pytod_spark.datagen import generate_repo_table, repo_commits_dim
+from pytod_spark.validation import ValidationSuite
+from pytod_spark.validation.features import derive_features
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = generate_repo_table(spark, N, seed=42, with_labels=True).persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def parent(spark):
+    return repo_commits_dim(spark, N, seed=42)
+
+
+def test_generator_deterministic(spark):
+    a = generate_repo_table(spark, 500, seed=7, n_partitions=2).orderBy("row_id").collect()
+    b = generate_repo_table(spark, 500, seed=7, n_partitions=5).orderBy("row_id").collect()
+    assert a == b  # partitioning must not change the table
+
+
+def test_features_invariants(spark, corpus):
+    f = derive_features(corpus.limit(200))
+    rows = f.select("content", "content_sha256", "content_length", "line_count").collect()
+    import hashlib
+
+    for r in rows[:20]:
+        assert r["content_sha256"] == hashlib.sha256(r["content"].encode()).hexdigest()
+        assert r["content_length"] == float(len(r["content"]))
+        assert r["line_count"] == float(r["content"].count("\n") + 1)
+
+
+def test_suite_detects_injected_violations(spark, corpus, parent, tmp_path):
+    run_dir = str(tmp_path / "run1")
+    suite = ValidationSuite(contamination=0.1)
+    metrics = suite.run(spark, corpus.drop("is_anomaly", "is_orphan"), run_dir, parent=parent)
+
+    # uniqueness: generator duplicates every dup_every-th row's key
+    expected_dups = corpus.groupBy("repo", "path", "commit").count().where("count > 1").count()
+    uniq = spark.read.parquet(os.path.join(run_dir, "uniqueness_violations"))
+    assert uniq.count() == expected_dups and expected_dups > 0
+
+    # RI: orphan commits (plus their injected duplicates) all surface
+    expected_orphans = corpus.where("is_orphan = 1").count()
+    ri = spark.read.parquet(os.path.join(run_dir, "ri_violations"))
+    assert ri.count() == expected_orphans and expected_orphans > 0
+
+    # drift: every planted anomaly must be flagged at the global threshold
+    flagged = spark.read.parquet(os.path.join(run_dir, "drift_violations"))
+    planted = {
+        (r["repo"], r["path"], r["commit"])
+        for r in corpus.where("is_anomaly = 1").select("repo", "path", "commit").collect()
+    }
+    got = {(r["repo"], r["path"], r["commit"]) for r in flagged.collect()}
+    assert planted, "fixture must plant anomalies"
+    missed = planted - got
+    assert not missed, f"drift stage missed {len(missed)} planted anomalies"
+
+    # verdicts: the anomaly-injected lang fails, clean langs pass drift
+    verdicts = {r["lang"]: r for r in spark.read.parquet(os.path.join(run_dir, "verdicts")).collect()}
+    from pytod_spark.datagen.repo_table import ANOMALY_LANG
+
+    assert not verdicts[ANOMALY_LANG]["drift_pass"]
+    assert metrics["rows_total"] == corpus.count()
+    assert metrics["files_per_sec"] > 0
+
+
+def test_resume_skips_completed_partitions(spark, corpus, parent, tmp_path):
+    run_dir = str(tmp_path / "run2")
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    suite = ValidationSuite(contamination=0.1)
+
+    # first run: only two partitions' worth of data "arrives"
+    first = clean.where(F.col("lang").isin(["python", "java"]))
+    m1 = suite.run(spark, first, run_dir, parent=parent)
+    assert m1["partitions_resumed_skip"] == 0
+
+    # second run over the full table: python/java must be skipped
+    m2 = suite.run(spark, clean, run_dir, parent=parent)
+    assert m2["partitions_resumed_skip"] == 2
+    assert m2["stage_a_rows"] < m1["rows_total"] + m2["rows_total"]
+
+    # third run: nothing pending, stage A untouched, verdicts still full
+    m3 = suite.run(spark, clean, run_dir, parent=parent)
+    assert m3["stage_a_rows"] == 0
+    verdicts = spark.read.parquet(os.path.join(run_dir, "verdicts"))
+    assert verdicts.count() == clean.select("lang").distinct().count()
+
+    # resume reruns are idempotent: no duplicated violation rows
+    uniq_total = spark.read.parquet(os.path.join(run_dir, "uniqueness_violations")).count()
+    expected = clean.groupBy("repo", "path", "commit").count().where("count > 1").count()
+    assert uniq_total == expected
