@@ -21,11 +21,15 @@ class KNN(SparkDetector):
         n_neighbors: int = 5,
         batch_size: int | None = None,
         strategy: str = "distributed",
+        precision: str = "high",
     ):
         super().__init__(contamination, strategy)
         self.n_neighbors = n_neighbors
         # reference batch_size (knn.py:65-70) == our tile block size
         self.batch_size = batch_size or 4096
+        # 'low' = fp32 filter + exact recheck, the reference's provable
+        # quantization (basic_operators.py:96-137)
+        self.precision = precision
 
     def _distributed_scores(self, df, id_col, features_col, group_cols, n_rows):
         return knn_scores_df(
@@ -36,6 +40,7 @@ class KNN(SparkDetector):
             block_size=self.batch_size,
             group_cols=group_cols,
             n_rows=n_rows,
+            precision=self.precision,
         )
 
     def _kernel_fn(self):

@@ -41,7 +41,43 @@ def _features_matrix(col: pd.Series) -> np.ndarray:
     return np.stack(col.to_numpy()).astype(np.float64, copy=False)
 
 
-def _tile_kernel_factory(k: int, p: float):
+def _lowprec_bottomk(A: np.ndarray, B: np.ndarray, kk: int, p: float):
+    """Filter-and-refine bottom-k: fp32 pass + exact fp64 recheck of
+    ambiguous rows.
+
+    Parity with the reference's provable-quantization pattern
+    (basic_operators.py:96-137 bottomk_low_prec /
+    intermediate_layers.py:106-164): compute in low precision, find
+    rows whose (k-1)/k/(k+1) neighbor distances collide within the
+    reduced precision (the ambiguity band), recompute only those rows
+    exactly. Distances returned are always exact fp64 (the reference
+    gathers final distances from the original-precision matrix,
+    basic_operators.py:128).
+    """
+    D32 = _np_cdist(A.astype(np.float32), B.astype(np.float32), p=p).astype(np.float32)
+    k1 = min(kk + 1, B.shape[0])
+    vals32, inds = _np_bottomk(D32, k1)
+    if k1 > kk:
+        amb = (vals32[:, kk] <= vals32[:, kk - 1]) | (
+            vals32[:, kk - 2] >= vals32[:, kk - 1] if kk >= 2 else False
+        )
+        amb_rows = np.nonzero(amb)[0]
+        if amb_rows.size:
+            D64 = _np_cdist(A[amb_rows], B, p=p)
+            _, exact_inds = _np_bottomk(D64, kk)
+            inds[amb_rows, :kk] = exact_inds
+        inds = inds[:, :kk]
+    # exact distances for the selected pairs only (n*kk, not n*m, fp64 work)
+    sel = B[inds.ravel()].reshape(inds.shape[0], kk, -1)
+    if p == 2.0:
+        dists = np.sqrt(((sel - A[:, None, :]) ** 2).sum(axis=2))
+    else:
+        dists = (np.abs(sel - A[:, None, :]) ** p).sum(axis=2) ** (1.0 / p)
+    order = np.argsort(dists, axis=1, kind="stable")
+    return np.take_along_axis(dists, order, axis=1), np.take_along_axis(inds, order, axis=1)
+
+
+def _tile_kernel_factory(k: int, p: float, precision: str = "high"):
     def tile_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:
             return pd.DataFrame({"__id": [], "nbr_id": [], "dist": []}).astype(
@@ -49,9 +85,11 @@ def _tile_kernel_factory(k: int, p: float):
             )
         A = _features_matrix(left["__feat"])
         B = _features_matrix(right["__rfeat"])
-        D = _np_cdist(A, B, p=p)
         kk = min(k, B.shape[0])
-        vals, inds = _np_bottomk(D, kk)
+        if precision == "low":
+            vals, inds = _lowprec_bottomk(A, B, kk, p)
+        else:
+            vals, inds = _np_bottomk(_np_cdist(A, B, p=p), kk)
         rid = np.repeat(left["__id"].to_numpy(), kk)
         nbr = right["__rid"].to_numpy()[inds.ravel()]
         return pd.DataFrame({"__id": rid, "nbr_id": nbr, "dist": vals.ravel()})
@@ -102,6 +140,7 @@ def knn_join(
     p: float = 2.0,
     group_cols: Iterable[str] = (),
     n_rows: int | None = None,
+    precision: str = "high",
 ) -> DataFrame:
     """Self kNN join: for every row, its k nearest rows (self included,
     occupying the distance-0 slot, as in pytod knn.py:100-108).
@@ -121,7 +160,7 @@ def knn_join(
     out_schema = ", ".join(
         [f"`{c}` string" for c in group_cols] + ["__id long", "nbr_id long", "dist double"]
     )
-    kernel = _tile_kernel_factory(k, p)
+    kernel = _tile_kernel_factory(k, p, precision)
     if group_cols:
         # group values are read from the left frame (empty-left tiles
         # emit nothing anyway)
@@ -161,6 +200,7 @@ def knn_scores_df(
     block_size: int = 4096,
     group_cols: Iterable[str] = (),
     n_rows: int | None = None,
+    precision: str = "high",
 ) -> DataFrame:
     """KNN outlier score = k-th true-neighbor distance.
 
@@ -175,6 +215,7 @@ def knn_scores_df(
         block_size=block_size,
         group_cols=group_cols,
         n_rows=n_rows,
+        precision=precision,
     )
     return pairs.where(F.col("rn") == n_neighbors + 1).select(
         *group_cols, id_col, F.col("dist").alias("score")

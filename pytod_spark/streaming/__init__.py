@@ -1,0 +1,1 @@
+from .drift_monitor import drift_alerts, fit_reference_model, score_stream  # noqa: F401

@@ -94,3 +94,16 @@ def test_get_set_params_repr():
     with pytest.raises(ValueError):
         det.set_params(bogus=1)
     assert "KNN(" in repr(det)
+
+
+def test_low_precision_knn_matches_exact(spark, f1_df, f1_fixture):
+    """fp32 filter + exact recheck must reproduce the fp64 kNN scores
+    (the reference's provable-quantization contract,
+    basic_operators.py:96-137 / quantization.py:108-161)."""
+    X, _ = f1_fixture
+    expected = knn_scores(X, 5)
+    det = KNN(n_neighbors=5, strategy="distributed", precision="low")
+    det.batch_size = 64
+    got = _collect_scores(det.score_df(f1_df))
+    actual = np.array([got[i] for i in range(len(expected))])
+    np.testing.assert_allclose(actual, expected, rtol=1e-12, atol=1e-12)

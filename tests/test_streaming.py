@@ -1,0 +1,77 @@
+"""Structured-streaming drift monitor: file source -> frozen HBOS
+model scoring -> windowed alerts, executed with availableNow triggers
+and a memory sink (deterministic, offline)."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pytod_spark.oracle.detectors import hbos_scores
+from pytod_spark.streaming import drift_alerts, fit_reference_model, score_stream
+
+
+@pytest.fixture(scope="module")
+def ref_df(spark):
+    rng = np.random.default_rng(5)
+    vals = rng.normal(50, 5, size=500)
+    return spark.createDataFrame([(float(v),) for v in vals], "value double")
+
+
+def test_model_matches_oracle_hbos(spark, ref_df):
+    model = fit_reference_model(ref_df, "value", n_bins=10, alpha=0.1)
+    scored = score_stream(ref_df, model, "value").collect()
+    vals = np.array([r["value"] for r in ref_df.collect()])[:, None]
+    expected = hbos_scores(vals, n_bins=10, alpha=0.1)
+    got = np.array([r["score"] for r in scored])
+    np.testing.assert_allclose(np.sort(got), np.sort(expected), rtol=1e-9)
+
+
+def test_streaming_drift_alert(spark, ref_df, tmp_path):
+    model = fit_reference_model(ref_df, "value")
+    src = str(tmp_path / "stream_src")
+
+    rng = np.random.default_rng(6)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    normal = [(t0 + dt.timedelta(seconds=int(i)), "a", float(v))
+              for i, v in enumerate(rng.normal(50, 5, size=200))]
+    # a drifted group: values far outside the reference histogram
+    drifted = [(t0 + dt.timedelta(seconds=int(i)), "b", float(v))
+               for i, v in enumerate(rng.normal(200, 5, size=200))]
+    spark.createDataFrame(normal + drifted, "ts timestamp, grp string, value double").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, grp string, value double").parquet(src)
+    alerts = drift_alerts(
+        stream, model, "value", ts_col="ts", group_cols=("grp",),
+        window="1 minute", watermark="2 minutes", max_outlier_rate=0.35,
+    )
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("drift_alerts_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from drift_alerts_t").collect()
+    # windows may be withheld by the watermark in append mode; assert on
+    # what was emitted plus a complete-mode re-run for full coverage
+    q2 = (
+        drift_alerts(stream, model, "value", ts_col="ts", group_cols=("grp",), max_outlier_rate=0.35)
+        .writeStream.format("memory")
+        .queryName("drift_alerts_c")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("select * from drift_alerts_c").collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert all(r["drift_alert"] == 1 for r in by_grp["b"])  # drifted group alerts
+    assert all(r["drift_alert"] == 0 for r in by_grp["a"])  # normal group clean
+    assert isinstance(out, list)  # append-mode ran without error
