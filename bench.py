@@ -91,7 +91,9 @@ def main() -> int:
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache", f"corpus_{args.rows}")
         if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-            generate_repo_table(spark, args.rows, seed=42).write.mode("overwrite").parquet(cache)
+            generate_repo_table(
+                spark, args.rows, seed=42, n_partitions=max(64, args.rows // 50_000)
+            ).write.mode("overwrite").parquet(cache)
             repo_commits_dim(spark, args.rows, seed=42).write.mode("overwrite").parquet(
                 cache + "_parent"
             )

@@ -383,28 +383,36 @@ FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn
 def q_stats_profile(spark, sf_dir):
     """Per-column stats profile of lineitem numerics (null rate, exact
     distinct, min/max/mean/std/median) — the engine's column-stats
-    pass in oracle-checkable (exact-distinct) form."""
+    pass in oracle-checkable (exact-distinct) form.
+
+    Plan shape: ONE wide aggregate over ONE scan (all columns' metrics
+    in a single pass), then a stack() unpivot — not one scan per
+    column."""
     li = load(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    parts = []
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
-        parts.append(
-            li.agg(
-                F.lit(c).alias("col_name"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
-                F.count_distinct(F.col(c)).alias("n_distinct"),
-                F.round(F.min(c), 4).alias("min_v"),
-                F.round(F.max(c), 4).alias("max_v"),
-                F.round(F.avg(c), 4).alias("mean_v"),
-                F.round(F.stddev_samp(c), 4).alias("std_v"),
-                F.round(F.percentile(F.col(c), F.lit(0.5)), 4).alias("p50"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("col_name")
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__n_null"),
+            F.count_distinct(col).alias(f"{c}__n_distinct"),
+            F.round(F.min(col), 4).alias(f"{c}__min_v"),
+            F.round(F.max(col), 4).alias(f"{c}__max_v"),
+            F.round(F.avg(col), 4).alias(f"{c}__mean_v"),
+            F.round(F.stddev_samp(col), 4).alias(f"{c}__std_v"),
+            F.round(F.percentile(col, F.lit(0.5)), 4).alias(f"{c}__p50"),
+        ]
+    wide = li.agg(*aggs)
+    metrics = ["n_null", "n_distinct", "min_v", "max_v", "mean_v", "std_v", "p50"]
+    stack_args = ", ".join(
+        f"'{c}', " + ", ".join(f"`{c}__{m}`" for m in metrics) for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) as (col_name, {', '.join(metrics)})",
+    ).select(
+        "col_name", "n_rows", *metrics
+    ).orderBy("col_name")
 
 
 SQL_STATS_PROFILE = """

@@ -121,7 +121,14 @@ class ValidationSuite:
                 max(spark.sparkContext.defaultParallelism, self.n_salt),
                 F.col(pcol), salt,
             )
-            feats = derive_features(work).persist()
+            # drop the raw content before persisting: every downstream
+            # check needs only keys + invariant hash + numeric features,
+            # and caching multi-hundred-byte blobs per row would make the
+            # cache (and the score join) content-bound
+            feats = derive_features(work).select(
+                pcol, "row_id", *self.key_cols, "content_sha256",
+                *FEATURE_COLS, "features",
+            ).persist()
             stage_a_rows = feats.count()
 
             # --- column stats (one grouped pass, HLL distinct)
