@@ -519,12 +519,15 @@ FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.
 
 def _merge_extra():
     from .queries_engine import ENGINE_ORACLES, ENGINE_QUERIES
+    from .queries_eval import EVAL_ORACLES, EVAL_QUERIES
     from .queries_text import TEXT_ORACLES, TEXT_QUERIES
 
     QUERIES.update(TEXT_QUERIES)
     ORACLES.update(TEXT_ORACLES)
     QUERIES.update(ENGINE_QUERIES)
     ORACLES.update(ENGINE_ORACLES)
+    QUERIES.update(EVAL_QUERIES)
+    ORACLES.update(EVAL_ORACLES)
 
 
 QUERIES = {

