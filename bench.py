@@ -57,6 +57,11 @@ def main() -> int:
     ap.add_argument("--suite-only", action="store_true")
     ap.add_argument("--rows", type=int, default=int(os.environ.get("BENCH_ROWS", 100_000)))
     ap.add_argument("--skip-suite", action="store_true")
+    ap.add_argument(
+        "--repeats", type=int, default=1,
+        help="suite repetitions in one JVM; the reported time is the last "
+        "(steady-state) run — earlier runs absorb JIT + page-fault warmup",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,15 +104,16 @@ def main() -> int:
             )
         corpus = spark.read.parquet(cache)
         parent = spark.read.parquet(cache + "_parent")
-        run_dir = os.path.join("/tmp", f"pytod_bench_run_{os.getpid()}")
-        shutil.rmtree(run_dir, ignore_errors=True)
-        t0 = time.time()
-        metrics = ValidationSuite(contamination=0.1).run(
-            spark, corpus, run_dir, parent=parent, resume=False
-        )
-        timings["validation_suite"] = round(time.time() - t0, 3)
-        files_per_sec = round(metrics["files_per_sec"], 1)
-        shutil.rmtree(run_dir, ignore_errors=True)
+        for rep in range(max(1, args.repeats)):
+            run_dir = os.path.join("/tmp", f"pytod_bench_run_{os.getpid()}_{rep}")
+            shutil.rmtree(run_dir, ignore_errors=True)
+            t0 = time.time()
+            metrics = ValidationSuite(contamination=0.1).run(
+                spark, corpus, run_dir, parent=parent, resume=False
+            )
+            timings["validation_suite"] = round(time.time() - t0, 3)
+            files_per_sec = round(metrics["files_per_sec"], 1)
+            shutil.rmtree(run_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

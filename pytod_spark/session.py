@@ -47,10 +47,23 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(8, int(cpus))
 
+    confs = dict(DEFAULT_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    confs.update(extra_conf or {})
+    # Pin the heap (-Xms = Xmx) with G1: with the JVM's tiny default
+    # -Xms the heap grows through repeated full GCs and a 2s aggregate
+    # takes 30s+ (measured here: percentile-sketch agg 31s -> 1.8s,
+    # cache materialize 47s -> 17s). Keep the heap modest rather than
+    # huge: in this virtualized sandbox first-touch of guest memory
+    # faults through the VMM at ~100 MB/s, so an oversized heap (or
+    # -XX:+AlwaysPreTouch, measured 167s startup at 16g) costs more
+    # than it saves. On a real cluster apply the same sizing via
+    # spark.executor.memory / spark.executor.extraJavaOptions.
+    confs.setdefault(
+        "spark.driver.extraJavaOptions",
+        f"-Xms{confs['spark.driver.memory']} -XX:+UseG1GC",
+    )
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in DEFAULT_CONFS.items():
-        builder = builder.config(k, v)
-    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    for k, v in (extra_conf or {}).items():
+    for k, v in confs.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -40,6 +40,7 @@ import json
 import os
 import time
 from collections.abc import Iterable
+from concurrent.futures import ThreadPoolExecutor, as_completed
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,8 +86,13 @@ class ValidationSuite:
         return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
 
     def _write_partitioned(self, df: DataFrame, run_dir: str, name: str) -> None:
+        # one shuffle partition per partition value -> one file per
+        # hive dir instead of (n_tasks x n_values) tiny files; the
+        # commit protocol (driver-side file moves) is the serial part
+        # of every write, so file count is what it scales with
         (
-            df.write.partitionBy(self.partition_col)
+            df.repartition(self.partition_col)
+            .write.partitionBy(self.partition_col)
             .mode("overwrite")
             .parquet(os.path.join(run_dir, name))
         )
@@ -139,51 +145,72 @@ class ValidationSuite:
             stage_a_rows = feats.count()
             tp = _mark("features", tp)
 
-            # --- column stats (one grouped pass, HLL distinct)
-            self._write_partitioned(
-                column_stats(feats, FEATURE_COLS, [pcol]), run_dir, "stats"
-            )
-            tp = _mark("stats", tp)
-            # --- uniqueness on the business key
-            self._write_partitioned(
-                uniqueness_violations(feats, self.key_cols, [pcol]),
-                run_dir,
-                "uniqueness_violations",
-            )
-            tp = _mark("uniqueness", tp)
-            # --- referential integrity
-            if parent is not None:
+            # The four checks below are independent given the cached
+            # feature frame — run them as concurrent driver threads so
+            # their (serial) plan/commit overheads overlap and the
+            # executor pool stays saturated. On a cluster this is the
+            # standard multi-job scheduler pattern; correctness is
+            # unaffected because each writes a distinct output.
+            def _job_stats():
                 self._write_partitioned(
-                    ri_violations(
-                        feats, parent, list(ri_keys),
-                        child_cols=[pcol, *self.key_cols, "content_sha256"],
-                    ),
-                    run_dir,
-                    "ri_violations",
+                    column_stats(feats, FEATURE_COLS, [pcol]), run_dir, "stats"
                 )
-                tp = _mark("ri", tp)
-            # --- drift scores (per-partition detector fit, pytod parity)
-            det_cls = ALL_DETECTORS[self.detector]
-            det = det_cls(contamination=self.contamination, **self.detector_params)
-            scores = det.score_df(
-                feats, id_col="row_id", features_col="features", group_cols=[pcol]
-            )
-            keyed = scores.join(
-                feats.select(pcol, "row_id", *self.key_cols, "content_sha256"),
-                on=[pcol, "row_id"],
-            )
-            self._write_partitioned(keyed, run_dir, "drift_scores")
-            tp = _mark("drift_scores", tp)
-            feats.unpersist()
 
-            # --- per-partition lineage markers (written only after every
-            # stage-A output for the partition is committed)
-            stats_back = spark.read.parquet(os.path.join(run_dir, "stats"))
-            counts = {
-                r[pcol]: r["n"]
-                for r in stats_back.groupBy(pcol).agg(F.max("n_rows").alias("n")).collect()
-                if r[pcol] in pending
-            }
+            def _job_uniqueness():
+                self._write_partitioned(
+                    uniqueness_violations(feats, self.key_cols, [pcol]),
+                    run_dir,
+                    "uniqueness_violations",
+                )
+
+            def _job_ri():
+                if parent is not None:
+                    self._write_partitioned(
+                        ri_violations(
+                            feats, parent, list(ri_keys),
+                            child_cols=[pcol, *self.key_cols, "content_sha256"],
+                        ),
+                        run_dir,
+                        "ri_violations",
+                    )
+
+            def _job_drift():
+                det_cls = ALL_DETECTORS[self.detector]
+                det = det_cls(contamination=self.contamination, **self.detector_params)
+                scores = det.score_df(
+                    feats, id_col="row_id", features_col="features", group_cols=[pcol]
+                )
+                keyed = scores.join(
+                    feats.select(pcol, "row_id", *self.key_cols, "content_sha256"),
+                    on=[pcol, "row_id"],
+                )
+                self._write_partitioned(keyed, run_dir, "drift_scores")
+
+            counts: dict = {}
+
+            def _job_counts():
+                counts.update(
+                    {
+                        r[pcol]: r["n"]
+                        for r in feats.groupBy(pcol).agg(
+                            F.count(F.lit(1)).alias("n")
+                        ).collect()
+                    }
+                )
+
+            jobs = [
+                ("stats", _job_stats),
+                ("uniqueness", _job_uniqueness),
+                ("ri", _job_ri),
+                ("drift_scores", _job_drift),
+                ("counts", _job_counts),
+            ]
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                futs = {pool.submit(fn): name for name, fn in jobs}
+                for fut in as_completed(futs):
+                    fut.result()  # propagate the first failure
+            tp = _mark("checks_parallel", tp)
+            feats.unpersist()
             for part in pending:
                 with open(self._marker_path(run_dir, part), "w") as fh:
                     json.dump(
@@ -247,11 +274,16 @@ class ValidationSuite:
             "partition_pass",
             F.col("uniqueness_pass") & F.col("ri_pass") & F.col("drift_pass"),
         )
-        self._write_partitioned(verdicts, run_dir, "verdicts")
+        # collect the (tiny) verdict table once and write from the
+        # driver-side rows — avoids re-running the join DAG for the
+        # metrics pass
+        verdict_rows = verdicts.collect()
+        spark.createDataFrame(verdict_rows, verdicts.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(run_dir, "verdicts"))
         _mark("stage_b", tp)
 
         elapsed = time.time() - t0
-        verdict_rows = verdicts.collect()
         total_rows = sum(r["n_rows"] for r in verdict_rows)
         metrics = {
             "elapsed_sec": elapsed,
