@@ -37,11 +37,16 @@ Scale/skew posture:
   the global threshold and verdicts from the persisted stage-A
   parquet instead of the in-memory shortcut.
 
-The drift stage defaults to HBOS (pure-SQL plan, scores comparable
-across partitions); every other detector from pytod_spark.detectors
-can be plugged in. Note ECOD reproduces the reference's argsort
-permutation quirk (scores land on rank positions, not rows) — parity-
-faithful but not row-attributable, hence not the engine default.
+The drift stage defaults to HBOS (broadcast histogram model +
+map-side Arrow scoring — KB-scale shuffles at any input size); every
+other detector from pytod_spark.detectors can be plugged in.
+Per-partition scores are median/MAD-normalized before the one global
+sketch-quantile threshold, so flags concentrate in the partition that
+actually drifted (a drifted partition inflates its own sigma and
+masks itself under plain mu/sigma standardization). Note ECOD
+reproduces the reference's argsort permutation quirk (scores land on
+rank positions, not rows) — parity-faithful but not row-attributable,
+hence not the engine default.
 """
 
 from __future__ import annotations
