@@ -104,7 +104,9 @@ def main() -> int:
             )
         corpus = spark.read.parquet(cache)
         parent = spark.read.parquet(cache + "_parent")
-        for rep in range(max(1, args.repeats)):
+        # --repeats 0 builds/refreshes the corpus cache without paying
+        # for a suite run (run_scaling.ensure_corpus relies on this)
+        for rep in range(args.repeats):
             run_dir = os.path.join("/tmp", f"pytod_bench_run_{os.getpid()}_{rep}")
             shutil.rmtree(run_dir, ignore_errors=True)
             t0 = time.time()

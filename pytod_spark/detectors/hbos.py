@@ -80,8 +80,11 @@ class HBOS(SparkDetector):
             F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / nb
         ).otherwise(F.lit(1.0))
 
-        stats_rows = stats.withColumn("w", width).collect()
-        if len(stats_rows) > _MODEL_CELL_BUDGET:
+        # decide broadcast-vs-join cheaply BEFORE materializing the model
+        # on the driver: a limit(budget+1).count() touches at most
+        # budget+1 rows, so an over-budget model never reaches the driver
+        st_w = stats.withColumn("w", width)
+        if st_w.limit(_MODEL_CELL_BUDGET + 1).count() > _MODEL_CELL_BUDGET:
             scores = self._scores_via_joins(
                 feat, fkeys, stats, width, group_cols, id_col
             )
@@ -91,6 +94,7 @@ class HBOS(SparkDetector):
                     on=[*group_cols, id_col],
                 )
             return scores
+        stats_rows = st_w.collect()
 
         cbin = F.least(
             F.greatest(F.floor((F.col("v") - F.col("lo")) / F.col("w")), F.lit(0)),
@@ -121,10 +125,13 @@ class HBOS(SparkDetector):
         sc = spark_session_of(df)
         bmodel = sc.sparkContext.broadcast(model)
         keep_cols = list(keep_cols)
+        # output types mirror the input schema (group keys / ids need
+        # not be string/long — base.py's contract allows any type)
+        in_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         out_schema = ", ".join(
-            [f"`{c}` string" for c in group_cols]
-            + [f"{id_col} long"]
-            + [f"`{c}` string" for c in keep_cols]
+            [f"`{c}` {in_type[c]}" for c in group_cols]
+            + [f"`{id_col}` {in_type[id_col]}"]
+            + [f"`{c}` {in_type[c]}" for c in keep_cols]
             + ["score double"]
         )
 

@@ -418,7 +418,7 @@ def q_stats_profile(spark, sf_dir):
 SQL_STATS_PROFILE = """
 SELECT * FROM (
   SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
-         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
          count(DISTINCT l_quantity) AS n_distinct,
          round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
          round(avg(l_quantity), 4) AS mean_v, round(stddev_samp(l_quantity), 4) AS std_v,
@@ -426,7 +426,7 @@ SELECT * FROM (
   FROM lineitem
   UNION ALL
   SELECT 'l_extendedprice', count(*),
-         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
          count(DISTINCT l_extendedprice),
          round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
          round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
@@ -434,7 +434,7 @@ SELECT * FROM (
   FROM lineitem
   UNION ALL
   SELECT 'l_discount', count(*),
-         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
          count(DISTINCT l_discount),
          round(min(l_discount), 4), round(max(l_discount), 4),
          round(avg(l_discount), 4), round(stddev_samp(l_discount), 4),
@@ -442,7 +442,7 @@ SELECT * FROM (
   FROM lineitem
   UNION ALL
   SELECT 'l_tax', count(*),
-         sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT,
          count(DISTINCT l_tax),
          round(min(l_tax), 4), round(max(l_tax), 4),
          round(avg(l_tax), 4), round(stddev_samp(l_tax), 4),
@@ -468,9 +468,9 @@ def q_uniqueness_lineitem(spark, sf_dir):
 SQL_UNIQUENESS_LINEITEM = """
 WITH k AS (SELECT l_orderkey, l_linenumber, count(*) AS cnt
            FROM lineitem GROUP BY 1, 2)
-SELECT sum(cnt) AS n_rows, count(*) AS n_keys,
-       sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
-       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_rows
+SELECT sum(cnt)::BIGINT AS n_rows, count(*) AS n_keys,
+       sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_keys,
+       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS n_dup_rows
 FROM k
 """
 

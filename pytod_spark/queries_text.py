@@ -107,10 +107,10 @@ def _duck_hits(words: list[str]) -> str:
 
 SQL_LANG_ID = f"""
 WITH h AS (SELECT doc_id, lang,
-    coalesce({_duck_hits(T.STOPWORDS['en'])}, 0) AS hits_en,
-    coalesce({_duck_hits(T.STOPWORDS['de'])}, 0) AS hits_de,
-    coalesce({_duck_hits(T.STOPWORDS['fr'])}, 0) AS hits_fr,
-    coalesce({_duck_hits(T.STOPWORDS['es'])}, 0) AS hits_es
+    coalesce({_duck_hits(T.STOPWORDS['en'])}, 0)::INTEGER AS hits_en,
+    coalesce({_duck_hits(T.STOPWORDS['de'])}, 0)::INTEGER AS hits_de,
+    coalesce({_duck_hits(T.STOPWORDS['fr'])}, 0)::INTEGER AS hits_fr,
+    coalesce({_duck_hits(T.STOPWORDS['es'])}, 0)::INTEGER AS hits_es
   FROM documents),
 p AS (SELECT *, greatest(hits_en, hits_de, hits_fr, hits_es) AS g FROM h)
 SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,

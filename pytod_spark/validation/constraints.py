@@ -49,8 +49,13 @@ def uniqueness_violations(
         .where(F.col("count") > 1)
         .select("__kh")
     )
+    # no explicit broadcast hint: the candidate set scales with the
+    # number of duplicated keys (a dup-heavy corpus at 10^12 rows makes
+    # it billions of hashes), so a forced broadcast would OOM the
+    # driver. AQE upgrades the semi-join to broadcast at runtime
+    # whenever the candidate side is actually small.
     suspects = df.withColumn("__kh", F.xxhash64(*group_cols, *keys)).join(
-        F.broadcast(cand), on="__kh", how="left_semi"
+        cand, on="__kh", how="left_semi"
     )
     return exact(suspects)
 

@@ -45,6 +45,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     if problems:
         return problems
+    # The round driver hashes raw values (no dtype normalization), so a
+    # float64-vs-int64 column (e.g. DuckDB HUGEINT sum -> float64) is a
+    # hash mismatch even when values agree. Flag kind mismatches hard.
+    for c in sorted(spark_pdf.columns):
+        sk = spark_pdf[c].dtype.kind
+        dk = duck_pdf[c].dtype.kind
+        if sk != dk and {sk, dk} != {"O", "O"}:
+            problems.append(
+                f"col {c}: dtype-kind mismatch spark={spark_pdf[c].dtype} "
+                f"duck={duck_pdf[c].dtype} (driver hash would differ)"
+            )
+    if problems:
+        return problems
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c].to_numpy(), d[c].to_numpy()

@@ -108,8 +108,12 @@ def main() -> int:
               f"({res[cpus]['suite_sec']}s)", flush=True)
 
     fps = {c: res[c]["files_per_sec"] for c in args.levels}
-    eff_2_8 = fps[8] / (4 * fps[2]) if 2 in fps and 8 in fps else None
-    eff_8_32 = fps[32] / (4 * fps[8]) if 8 in fps and 32 in fps else None
+    # efficiency rows are built from consecutive measured levels only,
+    # so non-default --levels never hits a None-format TypeError
+    pairs = [
+        (a, b, fps[b] / ((b / a) * fps[a]))
+        for a, b in zip(args.levels, args.levels[1:])
+    ]
 
     md = f"""# BENCH baseline — measured {time.strftime('%Y-%m-%d')}
 
@@ -132,12 +136,13 @@ ran sequentially on an otherwise idle host.
         for c in args.levels
     ) + f"""
 
-**Scaling efficiency (throughput_4N / (4 x throughput_N)):**
+**Scaling efficiency (throughput_kN / (k x throughput_N)):**
 
 | pair | efficiency |
 |---|---|
-| N=2 -> 4N=8 cores | **{eff_2_8:.3f}** |
-| N=8 -> 4N=32 cores | **{eff_8_32:.3f}** |
+""" + "\n".join(
+        f"| N={a} -> {b // a}N={b} cores | **{e:.3f}** |" for a, b, e in pairs
+    ) + f"""
 
 The 2 -> 8 pair is the honest single-host analogue of adding
 executors: per-thread memory bandwidth, hypervisor page-fault
@@ -181,7 +186,8 @@ concurrent jobs over one cached scan.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
-    print(f"eff 2->8: {eff_2_8:.3f}  eff 8->32: {eff_8_32:.3f}")
+    for a, b, e in pairs:
+        print(f"eff {a}->{b}: {e:.3f}")
     print("wrote BENCH/BASELINE.md")
     return 0
 
