@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "pca_scores",
     "hbos_events",
     "ecdf_events",
-    "stats_profile",
+    "stats_profile_sketch",
     "uniqueness_lineitem",
     "ri_lineitem_orders",
     "text_features",

@@ -1,4 +1,5 @@
-"""ECOD detector — pure Spark SQL (windows + aggregation), no UDF.
+"""ECOD detector — pure Spark SQL (bucketed two-pass ranks + joins),
+no UDF, no whole-column single-task window.
 
 Parity: pytod/models/ecod.py:82-95, including the reference's
 ``y[argsort]`` ECDF construction (basic_operators.py:226-244), which
@@ -9,17 +10,24 @@ the i-th smallest value. See oracle.operators.ecdf_multiple for the
 full derivation; "matrix position" is defined as the rank of the row
 id within its group.
 
-Plan shape: one window to assign positions, posexplode of the feature
-array, two windows per feature (asc for X, desc for -X; stable ties
-via position), a join on (group, out_pos, feature), then a grouped
-sum — all JVM-side, whole-stage-codegen friendly.
+Plan shape (the 10^12-row one): every rank — the position assignment
+and the per-feature asc/desc sort ranks — is a bucketed two-pass rank
+(operators/ranking.py): approximate range boundaries split each
+ranking domain into B buckets, per-bucket counts give rank offsets via
+a cumulative window over <= B metadata rows, and the only full-data
+exchanges are keyed by (group..., feature, bucket) — no task ever
+sorts more than ~n/B rows, unlike a ``Window.partitionBy(lit(1))`` /
+per-feature global-sort plan.  Group sizes come from a partial agg +
+broadcast join.  Then a join on (group, feature, out_pos) pairs each
+output position's left/right tail probabilities, and a grouped sum
+finishes the score — all JVM-side, whole-stage-codegen friendly.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.ranking import bucketed_ranks, with_group_size
 from ..oracle.detectors import ecod_scores as _np_ecod_scores
 from .base import SparkDetector
 
@@ -29,15 +37,12 @@ class ECOD(SparkDetector):
         super().__init__(contamination, strategy)
 
     def _distributed_scores(self, df, id_col, features_col, group_cols, n_rows):
-        gw = (
-            Window.partitionBy(*group_cols)
-            if group_cols
-            else Window.partitionBy(F.lit(1))
-        )
-        base = (
-            df.select(*group_cols, id_col, features_col)
-            .withColumn("__pos", F.row_number().over(gw.orderBy(id_col)) - 1)
-            .withColumn("__n", F.count(F.lit(1)).over(gw))
+        group_cols = list(group_cols)
+        base = df.select(*group_cols, id_col, features_col)
+        base = with_group_size(base, group_cols, out="__n")
+        # matrix position = rank of the row id within its group
+        base = bucketed_ranks(
+            base, key=id_col, tie=id_col, part_cols=group_cols, out_asc="__pos"
         )
         feat = base.select(
             *group_cols,
@@ -46,14 +51,21 @@ class ECOD(SparkDetector):
             "__n",
             F.posexplode(F.col(features_col).cast("array<double>")).alias("j", "v"),
         )
-        fw = Window.partitionBy(*(group_cols + ["j"]))
         # out_pos for ascending sort of X and of -X (== descending of X);
         # ties broken by position, matching the oracle's stable argsort.
-        ranked = feat.select(
+        # Both ranks share one (group, j, bucket)-keyed exchange.
+        ranked = bucketed_ranks(
+            feat,
+            key="v",
+            tie="__pos",
+            part_cols=group_cols + ["j"],
+            out_asc="out_pos_l",
+            out_desc="out_pos_r",
+        ).select(
             *group_cols,
             "j",
-            (F.row_number().over(fw.orderBy(F.col("v").asc(), F.col("__pos").asc())) - 1).alias("out_pos_l"),
-            (F.row_number().over(fw.orderBy(F.col("v").desc(), F.col("__pos").asc())) - 1).alias("out_pos_r"),
+            "out_pos_l",
+            "out_pos_r",
             ((F.col("__pos") + 1).cast("double") / F.col("__n")).alias("u"),
         )
         left = ranked.select(

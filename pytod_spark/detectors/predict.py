@@ -13,11 +13,15 @@ reproduce that surface:
 * ``predict_rank``        — base.py:284-314 (searchsorted on sorted
                             train scores)
 
-Train-side state is a tiny aggregate (threshold/mu/sigma/min/max) or
-the sorted train-score vector — broadcast into vectorized UDFs. erf
-and the binomial CDF have no Spark SQL builtin, so those two run in
-Arrow-batched pandas UDFs calling the same numpy oracle code the
-parity tests use.
+Train-side state is a tiny aggregate (threshold/mu/sigma/min/max).
+The reference's searchsorted-against-all-train-scores (confidence and
+rank) is NOT collected to the driver: #{train <= s} is computed
+distributively — aggregate train scores to one row per distinct value,
+take a bucketed two-pass cumulative count (operators/ranking.py), and
+join the counts back to the test rows. Exact (not sketched), and the
+biggest frame any task touches is one bucket. erf and the binomial CDF
+have no Spark SQL builtin, so those two run in Arrow-batched pandas
+UDFs calling the same numpy oracle code the parity tests use.
 """
 
 from __future__ import annotations
@@ -30,7 +34,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..operators.ranking import bucketed_cumsums
 from ..oracle.detectors import _binom_cdf
+
 
 
 def fitted_state(train_scores: DataFrame, contamination: float = 0.1,
@@ -46,6 +52,31 @@ def fitted_state(train_scores: DataFrame, contamination: float = 0.1,
         F.count(score_col).alias("n"),
     ).collect()[0]
     return {k: row[k] for k in ("threshold", "mu", "sigma", "smin", "smax", "n")}
+
+
+def _with_train_counts(
+    test_scores: DataFrame,
+    train_scores: DataFrame,
+    score_col: str,
+    out: str,
+    side: str,
+) -> DataFrame:
+    """Append #{train < s} (side='left') or #{train <= s} ('right') to
+    every test row — the distributed searchsorted."""
+    tr = train_scores.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    te = test_scores.select(F.col(score_col).alias("__s")).distinct()
+    dom = (
+        tr.join(te, "__s", "full_outer")
+        .withColumn("__cnt", F.coalesce("__cnt", F.lit(0)))
+    )
+    dom = bucketed_cumsums(dom, "__s", {"__cnt": "__below"})
+    n_inst = F.col("__below") + (F.col("__cnt") if side == "right" else F.lit(0))
+    counts = dom.select("__s", n_inst.alias(out))
+    return test_scores.join(
+        counts, on=test_scores[score_col] == counts["__s"]
+    ).drop("__s")
 
 
 def predict_labels(test_scores: DataFrame, state: dict, score_col: str = "score") -> DataFrame:
@@ -70,8 +101,11 @@ def predict_proba(
 
         @pandas_udf("double")
         def erf_clip(x: pd.Series) -> pd.Series:
-            pre = (x.to_numpy() - mu) / (sigma * math.sqrt(2))
-            return pd.Series(np.clip([math.erf(v) for v in pre], 0.0, 1.0))
+            # frompyfunc built inside the UDF (ufuncs don't pickle);
+            # C-loop dispatch of math.erf, ~3x a Python listcomp
+            erf = np.frompyfunc(math.erf, 1, 1)
+            pre = (x.to_numpy(dtype=np.float64) - mu) / (sigma * math.sqrt(2))
+            return pd.Series(np.clip(erf(pre).astype(np.float64), 0.0, 1.0))
 
         out = test_scores.withColumn("proba_1", erf_clip(s))
     else:
@@ -88,27 +122,28 @@ def predict_confidence(
 ) -> DataFrame:
     """Appends the prediction-stability confidence (base.py:241-282).
 
-    The rank-count #{train <= s} is a broadcast searchsorted over the
-    sorted train scores; the binomial CDF runs in the same Arrow batch.
-    """
-    train = np.sort(
-        np.array([r[0] for r in train_scores.select(score_col).collect()], dtype=np.float64)
+    #{train <= s} (searchsorted side='right') comes from the
+    distributed cumulative-count join; only the binomial CDF runs in
+    an Arrow batch."""
+    scored = _with_train_counts(
+        test_scores, train_scores, score_col, "__n_inst", side="right"
     )
-    n = len(train)
+    n = int(state["n"])
     thr = state["threshold"]
     k_top = n - int(n * contamination)
 
     @pandas_udf("double")
-    def conf_udf(s: pd.Series) -> pd.Series:
+    def conf_udf(s: pd.Series, n_inst: pd.Series) -> pd.Series:
         x = s.to_numpy(dtype=np.float64)
-        n_inst = np.searchsorted(train, x, side="right")
-        posterior = (1.0 + n_inst) / (2.0 + n)
+        posterior = (1.0 + n_inst.to_numpy(dtype=np.float64)) / (2.0 + n)
         conf = np.array([1.0 - _binom_cdf(k_top, n, p) for p in posterior])
         pred = x > thr
         conf[~pred] = 1.0 - conf[~pred]
         return pd.Series(conf)
 
-    return test_scores.withColumn("confidence", conf_udf(F.col(score_col)))
+    return scored.withColumn(
+        "confidence", conf_udf(F.col(score_col), F.col("__n_inst"))
+    ).drop("__n_inst")
 
 
 def predict_rank(
@@ -118,18 +153,13 @@ def predict_rank(
     score_col: str = "score",
 ) -> DataFrame:
     """Appends the outlyingness rank (searchsorted-left, base.py:284-314)."""
-    train = np.sort(
-        np.array([r[0] for r in train_scores.select(score_col).collect()], dtype=np.float64)
-    )
-
-    @pandas_udf("double")
-    def rank_udf(s: pd.Series) -> pd.Series:
-        return pd.Series(
-            np.searchsorted(train, s.to_numpy(dtype=np.float64), side="left").astype(float)
-        )
-
-    out = test_scores.withColumn("rank", rank_udf(F.col(score_col)))
+    out = _with_train_counts(test_scores, train_scores, score_col, "__rk", side="left")
+    out = out.withColumn("rank", F.col("__rk").cast("double")).drop("__rk")
     if normalized:
-        mx = out.agg(F.max("rank")).collect()[0][0]
-        out = out.withColumn("rank", F.col("rank") / F.lit(mx))
+        mx = out.agg(F.max("rank").alias("__mx"))
+        out = (
+            out.crossJoin(F.broadcast(mx))
+            .withColumn("rank", F.col("rank") / F.col("__mx"))
+            .drop("__mx")
+        )
     return out

@@ -80,14 +80,18 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: one min-aggregate per permutation
     over the exploded shingle hashes (single shuffle on doc id,
-    map-side partial min)."""
-    sh = shingle_df(df, id_col, text_col, n).select(
-        id_col, F.explode("sh").alias("shingle")
-    )
+    map-side partial min). Pass `shingled` (a shingle_df result, e.g.
+    persisted) to share the shingle computation with the refine stage."""
+    base = shingled if shingled is not None else shingle_df(df, id_col, text_col, n)
+    sh = base.select(id_col, F.explode("sh").alias("shingle"))
     h = (md5_hash60(F.col("shingle")) % MINHASH_P).alias("h")
     hashed = sh.select(id_col, h)
     aggs = [
@@ -102,35 +106,29 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature (N_BANDS bands of ROWS_PER_BAND mins); docs
     colliding in any band are candidates. Self-join happens on the
-    (band_id, band_key) bucket — never across buckets."""
-    bands = []
-    for b in range(N_BANDS):
-        cols = [f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        bands.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band_id"),
-                F.concat_ws("_", *[F.col(c) for c in cols]).alias("band_key"),
-            )
+    band-key bucket — never across buckets.
+
+    One pass, not N_BANDS union branches (each branch would re-run the
+    whole signature subtree): the N_BANDS band keys are built as an
+    array and exploded. Keys are xxhash64(band_id, mins...) — an 8-byte
+    long instead of a concat string, so the self-join shuffles fixed-
+    width keys; baking band_id into the hash keeps bands in disjoint
+    buckets (cross-band collisions are 2^-64 and are removed by the
+    exact refine anyway)."""
+    keys = [
+        F.xxhash64(
+            F.lit(b),
+            *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionAll(extra)
-    a = banded.select("band_id", "band_key", F.col(id_col).alias("doc_a"))
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select(F.col(id_col), F.explode(F.array(*keys)).alias("band_key"))
+    a = banded.select("band_key", F.col(id_col).alias("doc_a"))
     b = banded.select(
-        F.col("band_id").alias("band_id_r"),
-        F.col("band_key").alias("band_key_r"),
-        F.col(id_col).alias("doc_b"),
+        F.col("band_key").alias("band_key_r"), F.col(id_col).alias("doc_b")
     )
     return (
-        a.join(
-            b,
-            on=[
-                a["band_id"] == b["band_id_r"],
-                a["band_key"] == b["band_key_r"],
-                a["doc_a"] < b["doc_b"],
-            ],
-        )
+        a.join(b, on=[a["band_key"] == b["band_key_r"], a["doc_a"] < b["doc_b"]])
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -145,9 +143,19 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates refined by exact shingle Jaccard (filter-and-
     refine, the same two-phase shape as the reference's quantized
-    recheck, intermediate_layers.py:106-164)."""
-    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col, n), id_col)
-    sh = shingle_df(df, id_col, text_col, n)
+    recheck, intermediate_layers.py:106-164).
+
+    The shingle frame is computed once and persisted
+    (MEMORY_AND_DISK): it feeds the signature pipeline and both sides
+    of the refine join — without the persist each of those branches
+    re-tokenizes the full corpus. At cluster scale the persisted
+    frame spills to executor-local disk, which is still far cheaper
+    than 3x re-shingling."""
+    from pyspark import StorageLevel
+
+    sh = shingle_df(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(df, id_col, text_col, n, shingled=sh)
+    cands = lsh_candidate_pairs(sigs, id_col)
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -188,21 +196,60 @@ def simhash_pairs(
     max_hamming: int = 2,
     group_cols: Iterable[str] = (),
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance within groups."""
+    """Near-dup pairs by SimHash Hamming distance within groups.
+
+    Scale shape: pigeonhole banding, not all-pairs. A pair with
+    Hamming distance <= h differs in at most h of the 16 bits, so when
+    the hash is split into h+1 disjoint chunks at least one chunk is
+    bit-identical (pigeonhole). Each doc therefore emits h+1
+    (chunk_id, chunk_value) keys; the join is an equi-join on
+    (group, chunk_id, chunk_value) — candidates only, O(collisions)
+    instead of O(n^2/groups) — followed by the exact Hamming re-check,
+    which makes the result set identical to the all-pairs plan."""
     group_cols = list(group_cols)
     sh = simhash16(df, id_col, text_col)
     if group_cols:
         sh = sh.join(df.select(id_col, *group_cols), id_col)
-    a = sh.select(*group_cols, F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(
+    n_chunks = max_hamming + 1
+    base_w, extra = divmod(16, n_chunks)
+    chunks, start = [], 0
+    for i in range(n_chunks):
+        w = base_w + (1 if i < extra else 0)
+        chunks.append(
+            F.shiftright(F.col("simhash"), start).bitwiseAND(F.lit((1 << w) - 1))
+        )
+        start += w
+    banded = sh.select(
+        *group_cols,
+        id_col,
+        "simhash",
+        F.posexplode(F.array(*chunks)).alias("chunk_id", "chunk_val"),
+    )
+    a = banded.select(
+        *group_cols,
+        "chunk_id",
+        "chunk_val",
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("ha"),
+    )
+    b = banded.select(
         *[F.col(c).alias(f"__r_{c}") for c in group_cols],
+        F.col("chunk_id").alias("__r_chunk_id"),
+        F.col("chunk_val").alias("__r_chunk_val"),
         F.col(id_col).alias("doc_b"),
         F.col("simhash").alias("hb"),
     )
-    cond = [a[c] == b[f"__r_{c}"] for c in group_cols] + [a["doc_a"] < b["doc_b"]]
+    cond = (
+        [a[c] == b[f"__r_{c}"] for c in group_cols]
+        + [a["chunk_id"] == b["__r_chunk_id"], a["chunk_val"] == b["__r_chunk_val"]]
+        + [a["doc_a"] < b["doc_b"]]
+    )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         a.join(b, on=cond)
+        # a close pair can agree on several chunks -> dedupe candidates
+        .select(*group_cols, "doc_a", "doc_b", "ha", "hb")
+        .distinct()
         .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select(*group_cols, "doc_a", "doc_b", "hamming")

@@ -6,9 +6,13 @@ Spark-native re-expression of ``neighbor_within_range``
 the reference's ``distance_mat <= range_threshold`` mask (the diagonal
 is 0 <= theta).
 
-The fp16 filter-and-refine variants (intermediate_layers.py:25-83,
-106-164) are precision optimizations with identical output; the block
-kernel below computes fp64 directly.
+``neighbor_within_range_low_prec`` / ``_float`` re-express the fp16 /
+fp32 filter-and-refine variants (intermediate_layers.py:25-83,
+106-164): distances computed in reduced precision, the analytic
+rounding bound ``get_bounded_error`` (intermediate_layers.py:16-22)
+defines an ambiguity band around the threshold, and only in-band
+pairs recompute exactly — identical output to the fp64 kernel, ~2-4x
+less tile FLOP/memory traffic.
 """
 
 from __future__ import annotations
@@ -22,20 +26,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..oracle.operators import cdist as _np_cdist
+from ..oracle.operators import get_bounded_error
 from .block_knn import tile_sides
 
 
-def neighbor_within_range(
+def _range_join(
     df: DataFrame,
     range_threshold: float,
-    id_col: str = "row_id",
-    features_col: str = "features",
-    block_size: int = 4096,
-    group_cols: Iterable[str] = (),
-    n_rows: int | None = None,
+    id_col: str,
+    features_col: str,
+    block_size: int,
+    group_cols: Iterable[str],
+    n_rows: int | None,
+    low_prec_dtype: np.dtype | None,
 ) -> DataFrame:
-    """Return ``group_cols + (row_id, nbr_id, dist)`` for pairs with
-    dist <= range_threshold (self pairs included)."""
     group_cols = list(group_cols)
     n = n_rows if n_rows is not None else df.count()
     n_blocks = max(1, math.ceil(n / block_size))
@@ -43,6 +47,24 @@ def neighbor_within_range(
     left, right, lkeys, rkeys = tile_sides(df, id_col, features_col, group_cols, n_blocks)
 
     theta = float(range_threshold)
+
+    if low_prec_dtype is not None:
+        # the reference derives the band from the global max feature
+        # value (intermediate_layers.py:30-31) — one scalar aggregate.
+        # Deviation: the reference leaves machine_eps at the fp64
+        # default even in its half-precision variant, giving a band
+        # far smaller than fp16 rounding error (so its refine can miss
+        # mis-rounded pairs); we feed the bound the eps of the actual
+        # compute dtype, which is what makes output == exact provable.
+        max_val = float(
+            df.select(F.max(F.array_max(F.col(features_col).cast("array<double>")))).first()[0]
+        )
+        dim = len(df.select(features_col).first()[0])
+        err = get_bounded_error(
+            max_val, dim, machine_eps=float(np.finfo(low_prec_dtype).eps)
+        )
+    else:
+        err = 0.0
 
     def tile_kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if l.empty or r.empty:
@@ -52,13 +74,39 @@ def neighbor_within_range(
         else:
             A = np.stack(l["__feat"].to_numpy()).astype(np.float64, copy=False)
             B = np.stack(r["__rfeat"].to_numpy()).astype(np.float64, copy=False)
-            D = _np_cdist(A, B)
-            ii, jj = np.nonzero(D <= theta)
+            if low_prec_dtype is None:
+                D = _np_cdist(A, B)
+                ii, jj = np.nonzero(D <= theta)
+                dist = D[ii, jj]
+            else:
+                # filter-and-refine: cheap low-prec pass; only pairs in
+                # the +-err band around theta recompute exactly. Pair-
+                # level (vs the reference's row-level) granularity —
+                # strictly less recomputation, identical result set.
+                Dl = _np_cdist(
+                    A.astype(low_prec_dtype), B.astype(low_prec_dtype)
+                ).astype(np.float64)
+                cand = Dl <= theta + err
+                amb = cand & (Dl >= theta - err)
+                ai, aj = np.nonzero(amb)
+                if ai.size:
+                    diff = A[ai] - B[aj]
+                    exact = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+                    keep = np.zeros(Dl.shape, dtype=bool)
+                    keep[ai, aj] = exact <= theta
+                    final = (cand & ~amb) | keep
+                else:
+                    final = cand
+                ii, jj = np.nonzero(final)
+                # emitted distances are always exact fp64, matching the
+                # fp64 kernel's output bit-for-bit
+                diff = A[ii] - B[jj]
+                dist = np.sqrt(np.einsum("ij,ij->i", diff, diff))
             res = pd.DataFrame(
                 {
                     "__id": l["__id"].to_numpy()[ii],
                     "nbr_id": r["__rid"].to_numpy()[jj],
-                    "dist": D[ii, jj],
+                    "dist": dist,
                 }
             )
         for i, c in enumerate(group_cols):
@@ -74,3 +122,62 @@ def neighbor_within_range(
         .applyInPandas(tile_kernel, schema=out_schema)
         .withColumnRenamed("__id", id_col)
     )
+
+
+def neighbor_within_range(
+    df: DataFrame,
+    range_threshold: float,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    block_size: int = 4096,
+    group_cols: Iterable[str] = (),
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Return ``group_cols + (row_id, nbr_id, dist)`` for pairs with
+    dist <= range_threshold (self pairs included)."""
+    return _range_join(
+        df, range_threshold, id_col, features_col, block_size, group_cols,
+        n_rows, low_prec_dtype=None,
+    )
+
+
+def neighbor_within_range_low_prec(
+    df: DataFrame,
+    range_threshold: float,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    block_size: int = 4096,
+    group_cols: Iterable[str] = (),
+    n_rows: int | None = None,
+) -> DataFrame:
+    """fp16 filter-and-refine range join
+    (intermediate_layers.py:106-164): same output as
+    ``neighbor_within_range``."""
+    return _range_join(
+        df, range_threshold, id_col, features_col, block_size, group_cols,
+        n_rows, low_prec_dtype=np.float16,
+    )
+
+
+def neighbor_within_range_low_prec_float(
+    df: DataFrame,
+    range_threshold: float,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    block_size: int = 4096,
+    group_cols: Iterable[str] = (),
+    n_rows: int | None = None,
+) -> DataFrame:
+    """fp32 variant (intermediate_layers.py:25-83)."""
+    return _range_join(
+        df, range_threshold, id_col, features_col, block_size, group_cols,
+        n_rows, low_prec_dtype=np.float32,
+    )
+
+
+def get_indices_clear_pairs(
+    pairs: DataFrame, sample_index, id_col: str = "row_id"
+) -> DataFrame:
+    """Neighbor ids of one sample from a pair table
+    (intermediate_layers.py:86-89) — a pushed-down filter, not a scan."""
+    return pairs.where(F.col(id_col) == sample_index).select("nbr_id")

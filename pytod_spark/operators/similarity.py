@@ -154,11 +154,92 @@ def rp_lsh_candidate_pairs(
     id_col: str = "row_id",
     features_col: str = "features",
     seed: int = 42,
+    n_bands: int = 1,
 ) -> DataFrame:
+    """Candidate pairs from the sign signature.
+
+    n_bands=1: single-probe — pairs sharing the full signature bucket.
+    n_bands>1: banded (multi-probe) — the n_planes sign bits split into
+    n_bands chunks; a pair is a candidate when ANY chunk matches, which
+    lifts recall from p^R to 1-(1-p^(R/b))^b for bit-agreement
+    probability p (standard LSH OR-amplification) while the join stays
+    an equi-join on (band_id, band_key) — never all-pairs."""
     b = rp_lsh_buckets(df, dim, n_planes, id_col, features_col, seed)
-    a = b.select(F.col("bucket"), F.col(id_col).alias("doc_a"))
-    c = b.select(F.col("bucket").alias("bucket_r"), F.col(id_col).alias("doc_b"))
+    if n_bands <= 1:
+        a = b.select(F.col("bucket"), F.col(id_col).alias("doc_a"))
+        c = b.select(F.col("bucket").alias("bucket_r"), F.col(id_col).alias("doc_b"))
+        return (
+            a.join(c, on=[a["bucket"] == c["bucket_r"], a["doc_a"] < c["doc_b"]])
+            .select("doc_a", "doc_b")
+        )
+    base_w, extra = divmod(n_planes, n_bands)
+    chunks, start = [], 0
+    for i in range(n_bands):
+        w = base_w + (1 if i < extra else 0)
+        chunks.append(
+            F.shiftright(F.col("bucket"), start).bitwiseAND(F.lit((1 << w) - 1))
+        )
+        start += w
+    banded = b.select(
+        F.col(id_col), F.posexplode(F.array(*chunks)).alias("band_id", "band_key")
+    )
+    a = banded.select("band_id", "band_key", F.col(id_col).alias("doc_a"))
+    c = banded.select(
+        F.col("band_id").alias("band_id_r"),
+        F.col("band_key").alias("band_key_r"),
+        F.col(id_col).alias("doc_b"),
+    )
     return (
-        a.join(c, on=[a["bucket"] == c["bucket_r"], a["doc_a"] < c["doc_b"]])
+        a.join(
+            c,
+            on=[
+                a["band_id"] == c["band_id_r"],
+                a["band_key"] == c["band_key_r"],
+                a["doc_a"] < c["doc_b"],
+            ],
+        )
         .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ann_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup at scale: banded RP-LSH candidates refined by
+    exact cosine — the candidate join replaces the O(n^2) tile sweep of
+    ``cosine_pairs``; recall < 1 by LSH design (measure vs the
+    brute-force path at validation scale, see tests/test_similarity).
+
+    The refine stays JVM-side: unit-normalize once per side with
+    ``transform``/``aggregate`` higher-order functions, then the dot
+    product via ``zip_with`` + ``aggregate`` — no Python in the pair
+    path."""
+    cands = rp_lsh_candidate_pairs(
+        df, dim, n_planes, id_col, features_col, seed, n_bands
+    )
+    feats = F.col(features_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(feats, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    unit = F.transform(feats, lambda x: x / F.when(norm == 0, F.lit(1.0)).otherwise(norm))
+    u = df.select(F.col(id_col), unit.alias("u"))
+    dot = F.aggregate(
+        F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(u.select(F.col(id_col).alias("doc_a"), F.col("u").alias("u_a")), "doc_a")
+        .join(u.select(F.col(id_col).alias("doc_b"), F.col("u").alias("u_b")), "doc_b")
+        .withColumn("cos", dot)
+        .where(F.col("cos") >= float(threshold))
+        .select("doc_a", "doc_b", "cos")
     )

@@ -3,8 +3,10 @@
 Each function documents the reference lines whose observable behavior
 it reproduces (reference = /root/reference, pytod v0.0.3). These run
 in fp64; the reference's fp16 "provable quantization" variants
-(basic_operators.py:96-182) are a precision *optimization* with
-identical exact output, so they are intentionally not duplicated.
+(basic_operators.py:96-182, intermediate_layers.py:16-22) are
+reproduced at the bottom of this module (topk/bottomk_low_prec,
+get_bounded_error) — their output equals the exact operators whenever
+the precision bound holds, which the tests assert.
 """
 
 from __future__ import annotations
@@ -166,3 +168,84 @@ def get_batch_index(n_samples: int, batch_size: int) -> list[tuple[int, int]]:
     if n_samples % batch_size != 0:
         out.append((out[-1][1], n_samples))
     return out
+
+
+def get_bounded_error(
+    max_value: float,
+    dimension: int,
+    machine_eps: float = np.finfo(np.float64).eps,
+    two_sided: bool = True,
+) -> float:
+    """Analytic rounding-error bound for an fp distance computation:
+    values with |d - theta| > bound need no exact recheck.
+
+    Parity: ``pytod/models/intermediate_layers.py:16-22`` (mp.log is
+    the natural log; the mpmath intermediate collapses to float here,
+    which round-trips identically for these magnitudes).
+    """
+    factor = (1.0 + machine_eps) ** (np.log(dimension) + 2.0) - 1.0
+    one_sided = 4.0 * dimension * (float(max_value) ** 2) * factor
+    return float(2.0 * one_sided) if two_sided else float(one_sided)
+
+
+def topk_low_prec(
+    A: np.ndarray, k: int, mode: str = "half", sort_value: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Low-precision top-k with exact recheck of ambiguous rows.
+
+    Parity: ``pytod/models/basic_operators.py:140-182``: cast to
+    fp16/fp32, take top-(k+1); a row is ambiguous when the reduced
+    precision can no longer separate ranks k-2/k-1/k (the >=/<=
+    comparisons at :156-158); ambiguous rows re-rank in original
+    precision; final distances always gather from the original matrix
+    (:175). Output equals exact ``topk`` whenever the precision bound
+    holds.
+    """
+    A = np.asarray(A, dtype=np.float64)
+    A_low = A.astype(np.float16 if mode == "half" else np.float32)
+    topk_dist, topk_indices = topk(A_low, k + 1)
+    amb_p1 = np.where(topk_dist[:, k] >= topk_dist[:, k - 1])[0]
+    amb_m1 = (
+        np.where(topk_dist[:, k - 2] <= topk_dist[:, k - 1])[0]
+        if k >= 2
+        else np.array([], dtype=np.int64)
+    )
+    amb = np.unique(np.concatenate((amb_p1, amb_m1)))
+    if amb.size:
+        _, exact_inds = topk(A[amb, :], k)
+        topk_indices[amb, :k] = exact_inds
+    topk_indices = topk_indices[:, :k]
+    vals = np.take_along_axis(A, topk_indices, axis=1)
+    if sort_value:
+        order = np.argsort(-vals, axis=1, kind="stable")
+        return np.take_along_axis(vals, order, axis=1), np.take_along_axis(
+            topk_indices, order, axis=1
+        )
+    return vals, topk_indices
+
+
+def bottomk_low_prec(
+    A: np.ndarray, k: int, mode: str = "half", sort_value: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Low-precision bottom-k mirror (basic_operators.py:96-137)."""
+    A = np.asarray(A, dtype=np.float64)
+    A_low = A.astype(np.float16 if mode == "half" else np.float32)
+    bk_dist, bk_indices = bottomk(A_low, k + 1)
+    amb_p1 = np.where(bk_dist[:, k] <= bk_dist[:, k - 1])[0]
+    amb_m1 = (
+        np.where(bk_dist[:, k - 2] >= bk_dist[:, k - 1])[0]
+        if k >= 2
+        else np.array([], dtype=np.int64)
+    )
+    amb = np.unique(np.concatenate((amb_p1, amb_m1)))
+    if amb.size:
+        _, exact_inds = bottomk(A[amb, :], k)
+        bk_indices[amb, :k] = exact_inds
+    bk_indices = bk_indices[:, :k]
+    vals = np.take_along_axis(A, bk_indices, axis=1)
+    if sort_value:
+        order = np.argsort(vals, axis=1, kind="stable")
+        return np.take_along_axis(vals, order, axis=1), np.take_along_axis(
+            bk_indices, order, axis=1
+        )
+    return vals, bk_indices

@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 
 from .detectors import ABOD, ECOD, HBOS, KNN, LOF, PCA
 from .operators.block_knn import knn_join, knn_scores_df
-from .operators.range_join import neighbor_within_range
+from .operators.range_join import (
+    neighbor_within_range,
+    neighbor_within_range_low_prec,
+)
 from .operators.thresholds import add_threshold_labels
 
 K = 5  # detector default, pytod knn.py:65 / lof.py:65 / abod.py:80
@@ -164,6 +167,58 @@ def q_pca_scores(spark, sf_dir):
     rows-only), parity asserted vs the numpy oracle in pytest."""
     s = PCA(n_components=5, strategy="distributed").score_df(emb(spark, sf_dir))
     return s.select("row_id", F.round("score", 4).alias("score")).orderBy("row_id")
+
+
+def q_pca_scores_2d(spark, sf_dir):
+    """PCA score on a 2-feature frame — the oracle-checkable case: a
+    2x2 covariance eigendecomposition has a closed form (lambda =
+    ((a+c) +- sqrt((a-c)^2+4b^2))/2, eigenvector (b, lambda-a)), so
+    the full pytod score (distance-to-eigenvector / evr, pca.py:107-123
+    incl. the argmax-abs sign convention) is expressible in ANSI SQL.
+    Complements q_pca_scores (64-d, rows-only) with a value-checked row."""
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
+        F.array(
+            F.col("l_quantity").cast("double"), F.col("l_tax").cast("double")
+        ).alias("features"),
+    )
+    s = PCA(n_components=2, strategy="distributed").score_df(df)
+    return s.select("row_id", F.round("score", 3).alias("score")).orderBy("row_id")
+
+
+SQL_PCA_SCORES_2D = """
+WITH x AS (SELECT l_orderkey * 10 + l_linenumber AS row_id,
+                  l_quantity::DOUBLE AS x1, l_tax::DOUBLE AS x2 FROM lineitem),
+m AS (SELECT var_samp(x1) AS a, covar_samp(x1, x2) AS b, var_samp(x2) AS c FROM x),
+e AS (SELECT a, b,
+        (a + c + sqrt((a - c) * (a - c) + 4 * b * b)) / 2 AS l1,
+        (a + c - sqrt((a - c) * (a - c) + 4 * b * b)) / 2 AS l2
+      FROM m),
+w AS (SELECT
+        b / sqrt(b * b + (l1 - a) * (l1 - a)) AS w11,
+        (l1 - a) / sqrt(b * b + (l1 - a) * (l1 - a)) AS w21,
+        b / sqrt(b * b + (l2 - a) * (l2 - a)) AS w12,
+        (l2 - a) / sqrt(b * b + (l2 - a) * (l2 - a)) AS w22
+      FROM e),
+v AS (SELECT
+        f1 * w11 AS v11, f1 * w21 AS v21, f2 * w12 AS v12, f2 * w22 AS v22
+      FROM (SELECT *,
+              CASE WHEN (CASE WHEN abs(w11) >= abs(w21) THEN w11 ELSE w21 END) < 0
+                   THEN -1 ELSE 1 END AS f1,
+              CASE WHEN (CASE WHEN abs(w12) >= abs(w22) THEN w12 ELSE w22 END) < 0
+                   THEN -1 ELSE 1 END AS f2
+            FROM w)),
+pv AS (SELECT var_samp(x1 * v11 + x2 * v21) AS var1,
+              var_samp(x1 * v12 + x2 * v22) AS var2
+       FROM x, v)
+SELECT row_id,
+       round(sqrt((x1 - v11) * (x1 - v11) + (x2 - v21) * (x2 - v21))
+               / (var1 / (var1 + var2))
+           + sqrt((x1 - v12) * (x1 - v12) + (x2 - v22) * (x2 - v22))
+               / (var2 / (var1 + var2)), 3) AS score
+FROM x, v, pv ORDER BY row_id
+"""
 
 
 def q_abod_scores(spark, sf_dir):
@@ -340,6 +395,46 @@ SELECT ai AS row_id, count(*) AS n_within FROM d WHERE dist <= 1.2 GROUP BY ai O
 """
 
 
+def q_range_join_count_lowprec(spark, sf_dir):
+    """fp16 filter-and-refine range join (pytod
+    intermediate_layers.py:106-164 + the get_bounded_error band,
+    :16-22): by construction the same result set as
+    q_range_join_count, so it shares that exact-fp64 oracle — the
+    oracle IS the claim that low precision changed nothing."""
+    pairs = neighbor_within_range_low_prec(
+        emb(spark, sf_dir), range_threshold=1.2, block_size=KNN_BLOCK
+    )
+    return pairs.groupBy("row_id").agg(F.count(F.lit(1)).alias("n_within")).orderBy("row_id")
+
+
+def q_intersect_multi(spark, sf_dir):
+    """Row-wise multi-set intersection (pytod
+    basic_operators.py:208-217 intersecmulti): chained array_intersect
+    over the token sets of 3 consecutive documents."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    t = d.select("doc_id", toks.alias("toks"))
+    t1 = t.select(F.col("doc_id"), F.col("toks").alias("t1"))
+    t2 = t.select((F.col("doc_id") - 1).alias("doc_id"), F.col("toks").alias("t2"))
+    t3 = t.select((F.col("doc_id") - 2).alias("doc_id"), F.col("toks").alias("t3"))
+    j = t1.join(t2, "doc_id").join(t3, "doc_id")
+    inter = F.array_intersect(F.array_intersect("t1", "t2"), "t3")
+    return j.select(
+        "doc_id", F.size(inter).alias("n_common")
+    ).orderBy("doc_id")
+
+
+SQL_INTERSECT_MULTI = """
+WITH t AS (SELECT doc_id,
+                  list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+           FROM documents)
+SELECT a.doc_id,
+       len(list_intersect(list_intersect(a.toks, b.toks), c.toks))::INTEGER AS n_common
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 JOIN t c ON c.doc_id = a.doc_id + 2
+ORDER BY a.doc_id
+"""
+
+
 def q_intersect_keys(spark, sf_dir):
     """Set intersection (pytod basic_operators.py:185-205) as the
     relational INTERSECT it ports."""
@@ -452,6 +547,42 @@ SELECT * FROM (
 """
 
 
+def q_stats_profile_sketch(spark, sf_dir):
+    """The 10^12-row stats pass: same single-scan wide aggregate as
+    q_stats_profile but with sketches — approx_count_distinct (HLL++)
+    and percentile_approx — instead of the exact count_distinct /
+    percentile, whose per-group state is unbounded. No SQL oracle by
+    construction (HLL estimates are implementation-specific; DuckDB's
+    approx_count_distinct uses a different sketch), so the driver
+    records rows-only; tests/test_validation asserts the estimates
+    land within tolerance of the exact twin, which IS oracle-checked."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__n_null"),
+            F.approx_count_distinct(col).alias(f"{c}__n_distinct"),
+            F.round(F.min(col), 4).alias(f"{c}__min_v"),
+            F.round(F.max(col), 4).alias(f"{c}__max_v"),
+            F.round(F.avg(col), 4).alias(f"{c}__mean_v"),
+            F.round(F.stddev_samp(col), 4).alias(f"{c}__std_v"),
+            F.round(F.percentile_approx(col, F.lit(0.5)), 4).alias(f"{c}__p50"),
+        ]
+    wide = li.agg(*aggs)
+    metrics = ["n_null", "n_distinct", "min_v", "max_v", "mean_v", "std_v", "p50"]
+    stack_args = ", ".join(
+        f"'{c}', " + ", ".join(f"`{c}__{m}`" for m in metrics) for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) as (col_name, {', '.join(metrics)})",
+    ).select(
+        "col_name", "n_rows", *metrics
+    ).orderBy("col_name")
+
+
 def q_uniqueness_lineitem(spark, sf_dir):
     """Uniqueness check on the (l_orderkey, l_linenumber) key —
     summary row (north_rule uniqueness on (repo, path, commit))."""
@@ -537,15 +668,19 @@ QUERIES = {
     "ecod_scores": q_ecod_scores,
     "hbos_events": q_hbos_events,
     "pca_scores": q_pca_scores,
+    "pca_scores_2d": q_pca_scores_2d,
     "abod_scores": q_abod_scores,
     "ecdf_events": q_ecdf_events,
     "hist_events": q_hist_events,
     "standardize_events": q_standardize_events,
     "threshold_labels_events": q_threshold_labels_events,
     "range_join_count": q_range_join_count,
+    "range_join_count_lowprec": q_range_join_count_lowprec,
+    "intersect_multi": q_intersect_multi,
     "intersect_keys": q_intersect_keys,
     "topk_orders": q_topk_orders,
     "stats_profile": q_stats_profile,
+    "stats_profile_sketch": q_stats_profile_sketch,
     "uniqueness_lineitem": q_uniqueness_lineitem,
     "ri_orders_customer": q_ri_orders_customer,
     "ri_lineitem_orders": q_ri_lineitem_orders,
@@ -558,12 +693,17 @@ ORACLES = {
     "ecod_scores": SQL_ECOD_SCORES,
     "hbos_events": SQL_HBOS_EVENTS,
     "abod_scores": SQL_ABOD_SCORES,
-    # pca_scores: intentionally no SQL oracle (driver-side eigh); rows-only
+    # pca_scores: intentionally no SQL oracle (64-d driver-side eigh);
+    # rows-only — the value-checked PCA row is pca_scores_2d below
+    "pca_scores_2d": SQL_PCA_SCORES_2D,
     "ecdf_events": SQL_ECDF_EVENTS,
     "hist_events": SQL_HIST_EVENTS,
     "standardize_events": SQL_STANDARDIZE_EVENTS,
     "threshold_labels_events": SQL_THRESHOLD_LABELS_EVENTS,
     "range_join_count": SQL_RANGE_JOIN_COUNT,
+    # identical-output precision optimization -> same exact oracle
+    "range_join_count_lowprec": SQL_RANGE_JOIN_COUNT,
+    "intersect_multi": SQL_INTERSECT_MULTI,
     "intersect_keys": SQL_INTERSECT_KEYS,
     "topk_orders": SQL_TOPK_ORDERS,
     "stats_profile": SQL_STATS_PROFILE,

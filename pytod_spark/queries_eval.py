@@ -1,7 +1,17 @@
-"""Query catalogue, part 4: detector evaluation against the planted
-ground-truth labels in the embeddings table (ROC-AUC via rank-sum,
-precision@n) — the engine's quality-reporting surface
-(reference: pytod/utils/data.py:110-147, utility.py:106-183)."""
+"""Query catalogue, part 4: detector evaluation (ROC-AUC via the
+tie-aware Mann-Whitney U, precision@n) — the engine's quality-
+reporting surface (reference: pytod/utils/data.py:110-147,
+utility.py:106-183).
+
+The embeddings table's ``label`` is a 10-class cluster id, so the
+binary evaluation target is one-vs-rest on class 1 (y = label == 1),
+binarized identically in the Spark query and the oracle SQL.
+
+Both oracles mirror the distributed plans' math exactly: one row per
+*distinct* score, cumulative counts over that frame, then closed-form
+metrics — so the comparison is insensitive to how either engine breaks
+score ties between rows (the old row_number formulation was not).
+"""
 
 from __future__ import annotations
 
@@ -20,45 +30,66 @@ def _knn_scored(spark, sf_dir):
     )
     scores = knn_scores_df(feats, n_neighbors=5, block_size=512)
     return scores.join(
-        e.select(F.col("vec_id").alias("row_id"), F.col("label").alias("y")), "row_id"
+        e.select(
+            F.col("vec_id").alias("row_id"),
+            (F.col("label") == 1).cast("int").alias("y"),
+        ),
+        "row_id",
     )
 
 
 def q_eval_knn_roc(spark, sf_dir):
-    """ROC-AUC of KNN outlier scores vs the planted labels."""
+    """ROC-AUC of KNN outlier scores vs the binarized labels."""
     return roc_auc(_knn_scored(spark, sf_dir))
 
 
-SQL_EVAL_KNN_ROC = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+_SQL_SCORED = """
+WITH e AS (SELECT vec_id, CASE WHEN label = 1 THEN 1 ELSE 0 END AS y,
+                  embedding::DOUBLE[] AS emb FROM embeddings),
 d AS (SELECT a.vec_id AS ai, b.vec_id AS bi, list_distance(a.emb, b.emb) AS dist
       FROM e a CROSS JOIN e b),
 r AS (SELECT ai, dist, row_number() OVER (PARTITION BY ai ORDER BY dist, bi) AS rn FROM d),
 s AS (SELECT ai AS row_id, dist AS score FROM r WHERE rn = 6),
-j AS (SELECT s.score, e.label AS y FROM s JOIN e ON s.row_id = e.vec_id),
-rk AS (SELECT y, row_number() OVER (ORDER BY score ASC) AS r FROM j)
-SELECT round((sum(CASE WHEN y = 1 THEN r ELSE 0 END) - sum(y) * (sum(y) + 1) / 2.0)
-             / (sum(y)::DOUBLE * sum(1 - y)), 4) AS roc
-FROM rk
+j AS (SELECT s.score, e.y FROM s JOIN e ON s.row_id = e.vec_id),
+per AS (SELECT score AS sc, sum(y) AS pos, sum(1 - y) AS neg FROM j GROUP BY score)
 """
+
+
+SQL_EVAL_KNN_ROC = (
+    _SQL_SCORED
+    + """,
+c AS (SELECT pos, neg,
+        coalesce(sum(neg) OVER (ORDER BY sc
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM per)
+SELECT round(sum(pos * (neg_below + neg / 2.0))
+             / (sum(pos)::DOUBLE * sum(neg)), 4) AS roc
+FROM c
+"""
+)
 
 
 def q_eval_knn_prn(spark, sf_dir):
-    """Precision @ rank n (n = #planted outliers) of KNN scores."""
+    """Precision @ rank n (n = #positives) of KNN scores."""
     return precision_at_n(_knn_scored(spark, sf_dir))
 
 
-SQL_EVAL_KNN_PRN = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-d AS (SELECT a.vec_id AS ai, b.vec_id AS bi, list_distance(a.emb, b.emb) AS dist
-      FROM e a CROSS JOIN e b),
-r AS (SELECT ai, dist, row_number() OVER (PARTITION BY ai ORDER BY dist, bi) AS rn FROM d),
-s AS (SELECT ai AS row_id, dist AS score FROM r WHERE rn = 6),
-j AS (SELECT s.score, e.label AS y FROM s JOIN e ON s.row_id = e.vec_id),
-rk AS (SELECT y, row_number() OVER (ORDER BY score DESC) AS r FROM j),
-np AS (SELECT sum(y) AS np FROM rk)
-SELECT round(avg(y), 4) AS p_at_n FROM rk CROSS JOIN np WHERE r <= np
+SQL_EVAL_KNN_PRN = (
+    _SQL_SCORED
+    + """,
+c AS (SELECT pos, neg,
+        coalesce(sum(pos) OVER (ORDER BY sc DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_above,
+        coalesce(sum(neg) OVER (ORDER BY sc DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_above
+      FROM per),
+t AS (SELECT sum(pos) AS p FROM per)
+SELECT round((pos_above + greatest(0, (p - pos_above - neg_above) - neg))::DOUBLE
+             / p, 4) AS p_at_n
+FROM c, t
+WHERE pos_above + neg_above < p AND pos_above + neg_above + pos + neg >= p
 """
+)
 
 
 EVAL_QUERIES = {"eval_knn_roc": q_eval_knn_roc, "eval_knn_prn": q_eval_knn_prn}

@@ -310,11 +310,80 @@ SELECT row_id, rn, nbr_id, round(cos, 4) AS cos FROM r WHERE rn <= 3 ORDER BY ro
 
 def q_rp_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucket sizes (scale path for ANN /
-    near-dup candidate generation); no SQL oracle (numpy-seeded
-    hyperplanes), rows-only check + pytest property test."""
+    near-dup candidate generation). The fixed-seed hyperplanes are a
+    *parameter*, so the DuckDB oracle inlines them as double literals
+    (same generated-SQL pattern as _sql_minhash_pairs)."""
     e = emb(spark, sf_dir)
     b = S.rp_lsh_buckets(e, dim=64, n_planes=12)
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs")).orderBy("bucket")
+
+
+def _duck_sig(n_planes: int = 12, dim: int = 64, seed: int = 42) -> str:
+    """Sign-signature SQL mirroring rp_lsh_buckets bit-for-bit: each
+    plane's dot product is the same left-associated sum of
+    emb[j] * plane_literal that Spark codegen evaluates, so both
+    engines make identical >= 0 sign decisions."""
+    planes = S._hyperplanes(dim, n_planes, seed)
+    terms = []
+    for i in range(n_planes):
+        dot = " + ".join(f"emb[{j + 1}] * {planes[i, j]!r}" for j in range(dim))
+        terms.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _sql_rp_lsh_buckets() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (SELECT vec_id, {_duck_sig()} AS bucket FROM e)
+SELECT bucket, count(*) AS n_vecs FROM s GROUP BY bucket ORDER BY bucket
+"""
+
+
+SQL_RP_LSH_BUCKETS = _sql_rp_lsh_buckets()
+
+
+def q_embedding_neardup_ann(spark, sf_dir):
+    """The verified ANN near-dup path: banded RP-LSH candidates (3
+    bands x 4 sign bits, OR-amplified) + exact-cosine refine — the
+    scale-safe replacement for the brute-force q_embedding_neardup
+    (recall measured against it in tests/test_similarity.py)."""
+    e = emb(spark, sf_dir)
+    pairs = S.ann_neardup_pairs(e, threshold=0.4, dim=64, n_planes=12, n_bands=3)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("cos", 4).alias("cos")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _sql_embedding_neardup_ann(n_planes: int = 12, n_bands: int = 3) -> str:
+    base_w, extra = divmod(n_planes, n_bands)
+    band_rows, start = [], 0
+    for i in range(n_bands):
+        w = base_w + (1 if i < extra else 0)
+        band_rows.append(
+            f"SELECT vec_id, {i} AS band_id, (bucket >> {start}) & {(1 << w) - 1} "
+            f"AS band_key FROM s"
+        )
+        start += w
+    bands = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (SELECT vec_id, {_duck_sig()} AS bucket FROM e),
+banded AS ({bands}),
+cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.vec_id < b.vec_id),
+n AS (SELECT vec_id,
+        list_transform(emb, x -> x / sqrt(list_sum(list_transform(emb, y -> y * y)))) AS u
+      FROM e),
+p AS (SELECT c.doc_a, c.doc_b,
+        list_sum(list_transform(list_zip(na.u, nb.u), q -> q[1] * q[2])) AS cos
+      FROM cand c JOIN n na ON c.doc_a = na.vec_id JOIN n nb ON c.doc_b = nb.vec_id)
+SELECT doc_a, doc_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY doc_a, doc_b
+"""
+
+
+SQL_EMBEDDING_NEARDUP_ANN = _sql_embedding_neardup_ann()
 
 
 # -------------------------------------------------------------- multimodal
@@ -351,6 +420,7 @@ TEXT_QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "cosine_topk": q_cosine_topk,
     "rp_lsh_buckets": q_rp_lsh_buckets,
+    "embedding_neardup_ann": q_embedding_neardup_ann,
     "multimodal_metadata": q_multimodal_metadata,
 }
 
@@ -365,6 +435,7 @@ TEXT_ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "cosine_topk": SQL_COSINE_TOPK,
-    # rp_lsh_buckets: rows-only (numpy-seeded hyperplanes)
+    "rp_lsh_buckets": SQL_RP_LSH_BUCKETS,
+    "embedding_neardup_ann": SQL_EMBEDDING_NEARDUP_ANN,
     "multimodal_metadata": SQL_MULTIMODAL_METADATA,
 }

@@ -44,7 +44,7 @@ from pytod_spark.session import get_spark
 from pytod_spark.validation import ValidationSuite
 cpus, reps, shm = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 spark = get_spark("scaling", master=f"local[{{cpus}}]",
-                  shuffle_partitions=max(8, int(cpus)),
+                  shuffle_partitions=max(8, 4 * int(cpus)),
                   extra_conf={{"spark.ui.enabled": "false",
                               "spark.local.dir": os.path.join(shm, "spark-tmp")}})
 corpus = spark.read.parquet(os.path.join(shm, "corpus"))

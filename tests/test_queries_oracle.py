@@ -68,4 +68,7 @@ def test_all_oracle_keys_have_queries():
     assert set(ORACLES) <= set(QUERIES)
     # rows-only queries are the documented exceptions
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"pca_scores", "rp_lsh_buckets"}
+    # pca_scores (64-d): value check delegated to pca_scores_2d;
+    # stats_profile_sketch: HLL/KLL estimates are engine-specific,
+    # tolerance-checked against the exact twin in test_round2_ops
+    assert rows_only == {"pca_scores", "stats_profile_sketch"}

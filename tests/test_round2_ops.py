@@ -1,0 +1,246 @@
+"""Round-2 additions: bucketed ranking primitives, low-precision
+operator family, banded SimHash/RP-LSH candidate generation, ANN
+near-dup recall, distributed predict counts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pytod_spark.operators.ranking import (
+    bucketed_cumsums,
+    bucketed_ranks,
+    with_group_size,
+)
+from pytod_spark.operators.range_join import (
+    neighbor_within_range,
+    neighbor_within_range_low_prec,
+    neighbor_within_range_low_prec_float,
+)
+from pytod_spark.operators import similarity as S
+from pytod_spark.oracle.operators import (
+    bottomk,
+    bottomk_low_prec,
+    get_bounded_error,
+    topk,
+    topk_low_prec,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different document about spark query engines",
+        "rows columns shuffles joins aggregations windows and sorts",
+        "pandas arrow batches flow through vectorized kernels fast",
+    ]
+    rows = []
+    i = 0
+    for txt in base:
+        for _ in range(2):
+            rows.append((i, txt, "en"))
+            i += 1
+    rows.append((i, base[0].replace("tonight", "today"), "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ------------------------------------------------------ ranking primitives
+
+
+def test_bucketed_ranks_match_argsort(spark):
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=500)
+    vals[::7] = vals[0]  # inject ties
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)], "pos long, v double"
+    )
+    out = bucketed_ranks(
+        df, key="v", tie="pos", part_cols=[], out_asc="ra", out_desc="rd",
+        n_buckets=8,
+    ).toPandas().sort_values("pos")
+    order_a = np.lexsort((np.arange(len(vals)), vals))
+    exp_a = np.empty(len(vals), dtype=int)
+    exp_a[order_a] = np.arange(len(vals))
+    order_d = np.lexsort((np.arange(len(vals)), -vals))
+    exp_d = np.empty(len(vals), dtype=int)
+    exp_d[order_d] = np.arange(len(vals))
+    assert list(out["ra"]) == list(exp_a)
+    assert list(out["rd"]) == list(exp_d)
+
+
+def test_bucketed_ranks_grouped(spark):
+    rows = [(g, int(i), float((i * 37) % 11)) for g in ("a", "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, pos long, v double")
+    out = bucketed_ranks(
+        df, key="v", tie="pos", part_cols=["g"], out_asc="ra", n_buckets=4
+    ).toPandas()
+    for g, sub in out.groupby("g"):
+        sub = sub.sort_values("pos")
+        order = np.lexsort((sub["pos"].to_numpy(), sub["v"].to_numpy()))
+        exp = np.empty(len(sub), dtype=int)
+        exp[order] = np.arange(len(sub))
+        assert list(sub["ra"]) == list(exp)
+
+
+def test_bucketed_cumsums_strict(spark):
+    rng = np.random.default_rng(3)
+    keys = rng.permutation(300).astype(float)
+    df = spark.createDataFrame(
+        [(float(k), int(k) % 5) for k in keys], "s double, v long"
+    )
+    per = df.groupBy("s").agg(F.sum("v").alias("v"))
+    out = bucketed_cumsums(per, "s", {"v": "below"}, n_buckets=8).toPandas()
+    out = out.sort_values("s").reset_index(drop=True)
+    exp = np.concatenate([[0], np.cumsum(out["v"].to_numpy())[:-1]])
+    assert list(out["below"]) == list(exp)
+    out2 = bucketed_cumsums(
+        per, "s", {"v": "above"}, descending=True, n_buckets=8
+    ).toPandas().sort_values("s", ascending=False).reset_index(drop=True)
+    exp2 = np.concatenate([[0], np.cumsum(out2["v"].to_numpy())[:-1]])
+    assert list(out2["above"]) == list(exp2)
+
+
+def test_with_group_size(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "g string, x int")
+    out = with_group_size(df, ["g"]).toPandas()
+    assert dict(zip(out["g"], out["__n"]))["a"] == 2
+    out2 = with_group_size(df, []).toPandas()
+    assert set(out2["__n"]) == {3}
+
+
+# ------------------------------------------------- low-precision operators
+
+
+def test_low_prec_topk_bottomk_match_exact():
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(60, 40)) * 5
+    for k in (3, 5):
+        for mode in ("half", "float"):
+            v, i = topk_low_prec(A, k, mode=mode, sort_value=True)
+            ve, ie = topk(A, k)
+            np.testing.assert_allclose(v, ve)
+            v, i = bottomk_low_prec(A, k, mode=mode, sort_value=True)
+            ve, ie = bottomk(A, k)
+            np.testing.assert_allclose(v, ve)
+
+
+def test_get_bounded_error_reference_formula():
+    # intermediate_layers.py:16-22 with fp64 eps
+    e = get_bounded_error(3.0, 64)
+    eps = np.finfo(np.float64).eps
+    factor = (1 + eps) ** (np.log(64) + 2) - 1
+    assert e == pytest.approx(2 * 4 * 64 * 9 * factor)
+    assert get_bounded_error(3.0, 64, two_sided=False) == pytest.approx(e / 2)
+
+
+def test_low_prec_range_join_matches_exact(spark):
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(120, 8))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(len(X))],
+        "row_id long, features array<double>",
+    )
+    theta = 1.8
+    exact = (
+        neighbor_within_range(df, theta, block_size=48)
+        .select("row_id", "nbr_id")
+        .toPandas()
+    )
+    for fn in (neighbor_within_range_low_prec, neighbor_within_range_low_prec_float):
+        lp = fn(df, theta, block_size=48).select("row_id", "nbr_id").toPandas()
+        a = set(map(tuple, exact.to_numpy()))
+        b = set(map(tuple, lp.to_numpy()))
+        assert a == b, f"{fn.__name__}: {len(a ^ b)} differing pairs"
+
+
+# ------------------------------------------------------- candidate banding
+
+
+def test_simhash_banded_equals_allpairs(spark, docs):
+    from pytod_spark.operators.dedup import simhash16, simhash_pairs
+
+    out = simhash_pairs(docs, max_hamming=2).toPandas()
+    # brute-force reference on the collected signatures
+    sh = simhash16(docs).toPandas()
+    sigs = dict(zip(sh["doc_id"], sh["simhash"]))
+    ids = sorted(sigs)
+    exp = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 2
+    }
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert got == exp
+
+
+def test_ann_neardup_recall_vs_brute(spark):
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(80, 16))
+    # plant near-duplicates
+    dup = base[:20] + rng.normal(scale=0.01, size=(20, 16))
+    X = np.vstack([base, dup])
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(len(X))],
+        "row_id long, features array<double>",
+    )
+    brute = S.cosine_pairs(df, threshold=0.95, block_size=64).toPandas()
+    ann = S.ann_neardup_pairs(
+        df, threshold=0.95, dim=16, n_planes=12, n_bands=3
+    ).toPandas()
+    bset = set(zip(brute["doc_a"], brute["doc_b"]))
+    aset = set(zip(ann["doc_a"], ann["doc_b"]))
+    assert aset <= bset  # refine guarantees no false positives
+    recall = len(aset & bset) / max(1, len(bset))
+    # banded sign-LSH at 0.95 cosine: 3 bands of 4 bits, per-band hit
+    # prob (1 - acos(.95)/pi)^4 ~ 0.72 -> recall ~ 0.98
+    assert recall >= 0.8, f"recall {recall:.2f}"
+
+
+def test_rp_lsh_banded_candidates_superset_of_single(spark):
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(60, 8))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(len(X))],
+        "row_id long, features array<double>",
+    )
+    single = S.rp_lsh_candidate_pairs(df, dim=8, n_planes=12, n_bands=1).toPandas()
+    banded = S.rp_lsh_candidate_pairs(df, dim=8, n_planes=12, n_bands=3).toPandas()
+    sset = set(zip(single["doc_a"], single["doc_b"]))
+    bset = set(zip(banded["doc_a"], banded["doc_b"]))
+    assert sset <= bset
+
+
+# ----------------------------------------------------- distributed predict
+
+
+def test_distributed_train_counts_match_searchsorted(spark):
+    rng = np.random.default_rng(2)
+    train = rng.normal(size=400)
+    train[::5] = train[1]  # ties
+    test = np.concatenate([train[::3], rng.normal(size=50)])
+    tr = spark.createDataFrame([(float(v),) for v in train], "score double")
+    te = spark.createDataFrame([(float(v),) for v in test], "score double")
+    from pytod_spark.detectors.predict import _with_train_counts
+
+    sorted_train = np.sort(train)
+    for side in ("left", "right"):
+        out = _with_train_counts(te, tr, "score", "cnt", side=side).toPandas()
+        got = dict(zip(out["score"], out["cnt"]))
+        for v in test:
+            assert got[v] == np.searchsorted(sorted_train, v, side=side), (side, v)
+
+
+def test_stats_profile_sketch_close_to_exact(spark):
+    from pytod_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ex = QUERIES["stats_profile"](spark, sf).toPandas().set_index("col_name")
+    sk = QUERIES["stats_profile_sketch"](spark, sf).toPandas().set_index("col_name")
+    for c in ex.index:
+        nd_ex = ex.loc[c, "n_distinct"]
+        assert abs(sk.loc[c, "n_distinct"] - nd_ex) <= max(5, 0.05 * nd_ex)
+        assert sk.loc[c, "p50"] == pytest.approx(ex.loc[c, "p50"], rel=0.05, abs=1e-6)
+        for m in ("min_v", "max_v", "mean_v", "std_v", "n_null"):
+            assert sk.loc[c, m] == pytest.approx(ex.loc[c, m])
