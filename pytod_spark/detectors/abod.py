@@ -7,6 +7,11 @@ lists are gathered per row (collect_list over the kNN pair table, a
 single shuffle) and the pair enumeration + weighted cosine + variance
 run vectorized inside one Arrow kernel per batch of rows (k=5 -> 10
 pairs/row in-register, not 10 rows/row on the wire).
+
+Deviation: rows in groups with fewer than k+1 members are dropped
+(their ABOD score is undefined) rather than erroring the whole job as
+the reference does on n <= k — at 10^12 rows one tiny straggler group
+must not kill the run; the drop is observable as missing row_ids.
 """
 
 from __future__ import annotations

@@ -44,6 +44,13 @@ class ECOD(SparkDetector):
         base = bucketed_ranks(
             base, key=id_col, tie=id_col, part_cols=group_cols, out_asc="__pos"
         )
+        # base feeds the exploded rank pipeline (bounds agg, bucket
+        # counts, bucket join) and the final pos_map — 4+ consumers of
+        # a join-bearing subtree; persist the narrow frame so each
+        # consumer replays a cached scan instead of the rank joins
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
         feat = base.select(
             *group_cols,
             id_col,

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..operators.ranking import bucketed_cumsums
-from ..oracle.detectors import _binom_cdf
+from ..oracle.detectors import binom_cdf_vec
 
 
 
@@ -136,7 +136,9 @@ def predict_confidence(
     def conf_udf(s: pd.Series, n_inst: pd.Series) -> pd.Series:
         x = s.to_numpy(dtype=np.float64)
         posterior = (1.0 + n_inst.to_numpy(dtype=np.float64)) / (2.0 + n)
-        conf = np.array([1.0 - _binom_cdf(k_top, n, p) for p in posterior])
+        # vectorized incomplete-beta CDF: O(1) per row — the summation
+        # form is O(n) per row, impossible when n is the train size
+        conf = 1.0 - binom_cdf_vec(k_top, n, posterior)
         pred = x > thr
         conf[~pred] = 1.0 - conf[~pred]
         return pd.Series(conf)

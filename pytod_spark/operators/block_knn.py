@@ -41,6 +41,23 @@ def _features_matrix(col: pd.Series) -> np.ndarray:
     return np.stack(col.to_numpy()).astype(np.float64, copy=False)
 
 
+def estimate_rows(df: DataFrame):
+    """Row count from the optimizer's plan statistics when provable
+    (e.g. a bare parquet scan's footer metadata); None otherwise.
+
+    Tile planning only needs n to size the block grid, so callers use
+    this to skip the extra count job: ``n_rows or estimate_rows(df) or
+    df.count()`` (the count fallback on a columnar source prunes to
+    zero columns — cheap, but still a scheduled job)."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return None
+
+
 def _lowprec_bottomk(A: np.ndarray, B: np.ndarray, kk: int, p: float):
     """Filter-and-refine bottom-k: fp32 pass + exact fp64 recheck of
     ambiguous rows.
@@ -149,7 +166,7 @@ def knn_join(
     ``rn = 1..k`` ordered by (dist asc, nbr_id asc).
     """
     group_cols = list(group_cols)
-    n = n_rows if n_rows is not None else df.count()
+    n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
     n_blocks = max(1, math.ceil(n / block_size))
 
     # left row of block i joins every tile (i, *); right row of block j

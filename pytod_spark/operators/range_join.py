@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..oracle.operators import cdist as _np_cdist
 from ..oracle.operators import get_bounded_error
-from .block_knn import tile_sides
+from .block_knn import estimate_rows, tile_sides
 
 
 def _range_join(
@@ -41,7 +41,7 @@ def _range_join(
     low_prec_dtype: np.dtype | None,
 ) -> DataFrame:
     group_cols = list(group_cols)
-    n = n_rows if n_rows is not None else df.count()
+    n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
     n_blocks = max(1, math.ceil(n / block_size))
 
     left, right, lkeys, rkeys = tile_sides(df, id_col, features_col, group_cols, n_blocks)

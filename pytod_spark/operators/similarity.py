@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .block_knn import tile_sides
+from .block_knn import estimate_rows, tile_sides
 
 
 def _norm_rows(M: np.ndarray) -> np.ndarray:
@@ -42,7 +42,7 @@ def cosine_topk_join(
     Same map/reduce shape as the kNN join: per-tile partial top-k
     below the shuffle, window merge above it.
     """
-    n = n_rows if n_rows is not None else df.count()
+    n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
     n_blocks = max(1, math.ceil(n / block_size))
     left, right, lkeys, rkeys = tile_sides(df, id_col, features_col, [], n_blocks)
 
@@ -91,7 +91,7 @@ def cosine_pairs(
     n_rows: int | None = None,
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold (embedding near-dup)."""
-    n = n_rows if n_rows is not None else df.count()
+    n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
     n_blocks = max(1, math.ceil(n / block_size))
     left, right, lkeys, rkeys = tile_sides(df, id_col, features_col, [], n_blocks)
     t = float(threshold)
@@ -243,3 +243,47 @@ def ann_neardup_pairs(
         .where(F.col("cos") >= float(threshold))
         .select("doc_a", "doc_b", "cos")
     )
+
+
+def ann_cosine_topk(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors: banded RP-LSH candidates
+    (directed — both orientations of every bucket collision) refined
+    with exact cosine, then a per-row window top-k. The scale path
+    beside ``cosine_topk_join``'s exact tile sweep: candidate volume
+    is O(bucket collisions), not O(n^2/B); recall < 1 by LSH design
+    (rows with fewer than k candidates return fewer than k rows)."""
+    pairs = rp_lsh_candidate_pairs(
+        df, dim, n_planes, id_col, features_col, seed, n_bands
+    )
+    directed = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    feats = F.col(features_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(feats, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.transform(feats, lambda x: x / F.when(norm == 0, F.lit(1.0)).otherwise(norm))
+    u = df.select(F.col(id_col), unit.alias("u"))
+    dot = F.aggregate(
+        F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        directed.join(u.select(F.col(id_col).alias("doc_a"), F.col("u").alias("u_a")), "doc_a")
+        .join(u.select(F.col(id_col).alias("doc_b"), F.col("u").alias("u_b")), "doc_b")
+        .select(
+            F.col("doc_a").alias(id_col),
+            F.col("doc_b").alias("nbr_id"),
+            dot.alias("cos"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

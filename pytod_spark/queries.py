@@ -24,7 +24,11 @@ from .operators.range_join import (
 from .operators.thresholds import add_threshold_labels
 
 K = 5  # detector default, pytod knn.py:65 / lof.py:65 / abod.py:80
-KNN_BLOCK = 512  # small enough to exercise the multi-tile path at sf0.01
+# tile edge for the kNN/cosine block joins: 3 blocks (9 tiles) at the
+# sf0.1 bench (5k embeddings) so the multi-tile path is exercised
+# where time is measured, without drowning the sf0.01 oracle runs in
+# per-tile fixed costs; pytest covers many-tile grids with tiny blocks
+KNN_BLOCK = 2048
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

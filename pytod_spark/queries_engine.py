@@ -92,7 +92,7 @@ def q_knn_drift_labels(spark, sf_dir):
     from .operators.block_knn import knn_scores_df
     from .queries import emb
 
-    s = knn_scores_df(emb(spark, sf_dir), n_neighbors=5, block_size=512)
+    s = knn_scores_df(emb(spark, sf_dir), n_neighbors=5, block_size=2048)
     thr = s.agg(F.percentile("score", F.lit(0.9)).alias("thr"))
     return (
         s.crossJoin(F.broadcast(thr))

@@ -28,7 +28,7 @@ def _knn_scored(spark, sf_dir):
         F.col("vec_id").alias("row_id"),
         F.col("embedding").cast("array<double>").alias("features"),
     )
-    scores = knn_scores_df(feats, n_neighbors=5, block_size=512)
+    scores = knn_scores_df(feats, n_neighbors=5, block_size=2048)
     return scores.join(
         e.select(
             F.col("vec_id").alias("row_id"),

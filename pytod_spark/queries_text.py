@@ -269,7 +269,7 @@ SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 
 def q_embedding_neardup(spark, sf_dir):
     e = emb(spark, sf_dir)
-    pairs = S.cosine_pairs(e, threshold=0.4, block_size=512)
+    pairs = S.cosine_pairs(e, threshold=0.4, block_size=2048)
     return pairs.select(
         "doc_a", "doc_b", F.round("cos", 4).alias("cos")
     ).orderBy("doc_a", "doc_b")
@@ -288,7 +288,7 @@ SELECT doc_a, doc_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY doc_a
 
 def q_cosine_topk(spark, sf_dir):
     e = emb(spark, sf_dir)
-    out = S.cosine_topk_join(e, k=3, block_size=512)
+    out = S.cosine_topk_join(e, k=3, block_size=2048)
     return out.select(
         "row_id", "rn", "nbr_id", F.round("cos", 4).alias("cos")
     ).orderBy("row_id", "rn")
@@ -386,6 +386,55 @@ SELECT doc_a, doc_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY doc_a
 SQL_EMBEDDING_NEARDUP_ANN = _sql_embedding_neardup_ann()
 
 
+def q_cosine_topk_ann(spark, sf_dir):
+    """Approximate cosine top-k via banded RP-LSH candidates + exact
+    refine — the LSH-bucketed similarity-search scale path; the oracle
+    reproduces the identical candidate set (inlined hyperplanes), so
+    the comparison checks the whole ANN pipeline, not just the
+    refine."""
+    e = emb(spark, sf_dir)
+    out = S.ann_cosine_topk(e, k=3, dim=64, n_planes=12, n_bands=3)
+    return out.select(
+        "row_id", "rn", "nbr_id", F.round("cos", 4).alias("cos")
+    ).orderBy("row_id", "rn")
+
+
+def _sql_cosine_topk_ann(n_planes: int = 12, n_bands: int = 3, k: int = 3) -> str:
+    base_w, extra = divmod(n_planes, n_bands)
+    band_rows, start = [], 0
+    for i in range(n_bands):
+        w = base_w + (1 if i < extra else 0)
+        band_rows.append(
+            f"SELECT vec_id, {i} AS band_id, (bucket >> {start}) & {(1 << w) - 1} "
+            f"AS band_key FROM s"
+        )
+        start += w
+    bands = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (SELECT vec_id, {_duck_sig()} AS bucket FROM e),
+banded AS ({bands}),
+cand AS (SELECT DISTINCT a.vec_id AS row_id, b.vec_id AS nbr_id
+         FROM banded a JOIN banded b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.vec_id <> b.vec_id),
+n AS (SELECT vec_id,
+        list_transform(emb, x -> x / sqrt(list_sum(list_transform(emb, y -> y * y)))) AS u
+      FROM e),
+p AS (SELECT c.row_id, c.nbr_id,
+        list_sum(list_transform(list_zip(na.u, nb.u), q -> q[1] * q[2])) AS cos
+      FROM cand c JOIN n na ON c.row_id = na.vec_id JOIN n nb ON c.nbr_id = nb.vec_id),
+r AS (SELECT row_id, nbr_id, cos,
+        row_number() OVER (PARTITION BY row_id ORDER BY cos DESC, nbr_id ASC) AS rn
+      FROM p)
+SELECT row_id, rn, nbr_id, round(cos, 4) AS cos FROM r WHERE rn <= {k}
+ORDER BY row_id, rn
+"""
+
+
+SQL_COSINE_TOPK_ANN = _sql_cosine_topk_ann()
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -421,6 +470,7 @@ TEXT_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "rp_lsh_buckets": q_rp_lsh_buckets,
     "embedding_neardup_ann": q_embedding_neardup_ann,
+    "cosine_topk_ann": q_cosine_topk_ann,
     "multimodal_metadata": q_multimodal_metadata,
 }
 
@@ -437,5 +487,6 @@ TEXT_ORACLES = {
     "cosine_topk": SQL_COSINE_TOPK,
     "rp_lsh_buckets": SQL_RP_LSH_BUCKETS,
     "embedding_neardup_ann": SQL_EMBEDDING_NEARDUP_ANN,
+    "cosine_topk_ann": SQL_COSINE_TOPK_ANN,
     "multimodal_metadata": SQL_MULTIMODAL_METADATA,
 }

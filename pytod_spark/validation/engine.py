@@ -98,16 +98,29 @@ class ValidationSuite:
         return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
 
     def _write_partitioned(
-        self, df: DataFrame, run_dir: str, name: str, compact: bool = True
+        self, df: DataFrame, run_dir: str, name: str, compact: bool = True,
+        n_values: int | None = None,
     ) -> None:
-        # compact=True: one shuffle partition per partition value ->
-        # one file per hive dir instead of (n_tasks x n_values) tiny
-        # files; the commit protocol (driver-side file moves) is the
-        # serial part of every write, so file count is what it scales
-        # with. Use compact=False for large outputs where write
-        # parallelism matters more than file count.
+        # compact=True bounds files per hive dir (the commit protocol's
+        # driver-side file moves scale with file count) — but ONE task
+        # per partition value would leave all but n_values cores idle
+        # during the write, an anti-scaling serial stage. Salt the
+        # repartition so the write uses ~defaultParallelism tasks total
+        # while keeping files-per-dir at a small constant
+        # (ceil(par / n_values)), the best of both.
         if compact:
-            df = df.repartition(self.partition_col)
+            spark = df.sparkSession
+            par = spark.sparkContext.defaultParallelism
+            nv = max(1, n_values or 8)
+            # ~2 write tasks per core (straggler smoothing) spread over
+            # the partition values; files per dir stays at salt_n
+            salt_n = max(1, (2 * par + nv - 1) // nv)
+            if salt_n > 1:
+                salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:2]]),
+                              F.lit(salt_n))
+                df = df.repartition(nv * salt_n, F.col(self.partition_col), salt)
+            else:
+                df = df.repartition(self.partition_col)
         (
             df.write.partitionBy(self.partition_col)
             .mode("overwrite")
@@ -169,13 +182,13 @@ class ValidationSuite:
 
             def _job_stats():
                 stats = column_stats_frame(feats, pcol)
-                self._write_partitioned(stats, run_dir, "stats")
+                self._write_partitioned(stats, run_dir, "stats", n_values=len(pending))
                 for r in stats.where(F.col("col_name") == FEATURE_COLS[0]).collect():
                     sums["n_rows"][r[pcol]] = r["n_rows"]
 
             def _job_uniqueness():
                 viol = uniqueness_violations(feats, self.key_cols, [pcol]).persist()
-                self._write_partitioned(viol, run_dir, "uniqueness_violations")
+                self._write_partitioned(viol, run_dir, "uniqueness_violations", n_values=len(pending))
                 for r in viol.groupBy(pcol).agg(
                     F.count(F.lit(1)).alias("k"),
                     F.sum(F.col("n_copies") - 1).alias("x"),
@@ -191,7 +204,7 @@ class ValidationSuite:
                     feats, parent, list(ri_keys),
                     child_cols=[pcol, *self.key_cols, "content_sha256"],
                 ).persist()
-                self._write_partitioned(viol, run_dir, "ri_violations")
+                self._write_partitioned(viol, run_dir, "ri_violations", n_values=len(pending))
                 for r in viol.groupBy(pcol).count().collect():
                     sums["orphans"][r[pcol]] = r["count"]
                 viol.unpersist()
@@ -278,9 +291,22 @@ class ValidationSuite:
                         sums["outliers"][r[pcol]] = r["o"]
                 keyed.unpersist()
 
-            jobs = [_job_stats, _job_uniqueness, _job_ri, _job_drift]
+            jobs = {
+                "stats": _job_stats,
+                "uniqueness": _job_uniqueness,
+                "ri": _job_ri,
+                "drift": _job_drift,
+            }
+
+            def _timed(name, fn):
+                t = time.time()
+                fn()
+                # per-check wall time (threads overlap, so these sum to
+                # more than checks_parallel; the max is the critical path)
+                phase_times[f"check_{name}"] = round(time.time() - t, 2)
+
             with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-                futs = [pool.submit(fn) for fn in jobs]
+                futs = [pool.submit(_timed, nm, fn) for nm, fn in jobs.items()]
                 for fut in as_completed(futs):
                     fut.result()  # propagate the first failure
             tp = _mark("checks_parallel", tp)

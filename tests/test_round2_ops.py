@@ -244,3 +244,16 @@ def test_stats_profile_sketch_close_to_exact(spark):
         assert sk.loc[c, "p50"] == pytest.approx(ex.loc[c, "p50"], rel=0.05, abs=1e-6)
         for m in ("min_v", "max_v", "mean_v", "std_v", "n_null"):
             assert sk.loc[c, m] == pytest.approx(ex.loc[c, m])
+
+
+def test_binom_cdf_vec_matches_summation():
+    from pytod_spark.oracle.detectors import _binom_cdf, binom_cdf_vec
+
+    rng = np.random.default_rng(1)
+    for n in (5, 50, 500):
+        for kfrac in (0.0, 0.1, 0.5, 0.9, 1.0):
+            k = int(n * kfrac)
+            ps = np.clip(rng.uniform(0, 1, 20), 1e-9, 1 - 1e-9)
+            v = binom_cdf_vec(k, n, ps)
+            e = np.array([_binom_cdf(k, n, p) for p in ps])
+            np.testing.assert_allclose(v, e, atol=1e-10)

@@ -75,3 +75,55 @@ def test_streaming_drift_alert(spark, ref_df, tmp_path):
     assert all(r["drift_alert"] == 1 for r in by_grp["b"])  # drifted group alerts
     assert all(r["drift_alert"] == 0 for r in by_grp["a"])  # normal group clean
     assert isinstance(out, list)  # append-mode ran without error
+
+
+def test_cusum_scan_matches_recurrence():
+    import numpy as np
+
+    from pytod_spark.streaming.cusum import _cusum_scan
+
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        x = rng.integers(0, 2, rng.integers(1, 40)).astype(float)
+        k, c0 = rng.uniform(0, 1), rng.uniform(0, 8)
+        c, exp = c0, []
+        for v in x:
+            c = max(0.0, c + v - k)
+            exp.append(c)
+        np.testing.assert_allclose(_cusum_scan(x, k, c0), exp)
+
+
+def test_cusum_stateful_stream(spark, ref_df, tmp_path):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pytod_spark.streaming.cusum import cusum_drift_stream
+    from pytod_spark.streaming.drift_monitor import fit_reference_model
+
+    model = fit_reference_model(ref_df, "value", contamination=0.1)
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    # batch 1: all-drift group 'b' (values far outside the reference),
+    # clean group 'a'
+    rows_a = [("a", 45.0 + float(v % 10), i) for i, v in enumerate(range(40))]
+    rows_b = [("b", 99.0, i) for i in range(40)]
+    df = spark.createDataFrame(rows_a + rows_b, "g string, value double, seq long")
+    df = df.withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("seq")))
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = cusum_drift_stream(stream, model, "value", "g", target_rate=0.3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = {r["group"]: r for r in spark.sql("SELECT * FROM cusum_out").collect()}
+    assert res["b"]["alert"] == 1 and res["b"]["cusum"] > 5.0
+    assert res["a"]["alert"] == 0
+    assert res["a"]["n_seen"] == 40 and res["b"]["n_seen"] == 40
