@@ -33,7 +33,7 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--parent-out", default=None)
 
     v = sub.add_parser("validate", help="run the validation suite")
-    v.add_argument("--input", required=True, help="parquet dir of (repo,path,commit,lang,content)")
+    v.add_argument("--input", required=True, help="parquet dir or table:/iceberg:<name> of (repo,path,commit,lang,content)")
     v.add_argument("--parent", default=None, help="parquet dir of the (repo,commit) dimension")
     v.add_argument("--run-dir", required=True)
     v.add_argument("--detector", default="hbos", choices=["hbos", "knn", "lof", "ecod", "pca", "abod"])
@@ -55,8 +55,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows_written": spark.read.parquet(args.out).count()}))
         return 0
 
-    df = spark.read.parquet(args.input)
-    parent = spark.read.parquet(args.parent) if args.parent else None
+    from .sources import load_table
+
+    df = load_table(spark, args.input)
+    parent = load_table(spark, args.parent) if args.parent else None
     suite = ValidationSuite(detector=args.detector, contamination=args.contamination)
     metrics = suite.run(spark, df, args.run_dir, parent=parent, resume=not args.no_resume)
     print(json.dumps(metrics))

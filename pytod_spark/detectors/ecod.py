@@ -18,7 +18,12 @@ a cumulative window over <= B metadata rows, and the only full-data
 exchanges are keyed by (group..., feature, bucket) — no task ever
 sorts more than ~n/B rows, unlike a ``Window.partitionBy(lit(1))`` /
 per-feature global-sort plan.  Group sizes come from a partial agg +
-broadcast join.  Then a join on (group, feature, out_pos) pairs each
+broadcast join.  (The plan still shows ``Exchange SinglePartition``
+nodes: those are scalar-aggregate merges — the group-size count, the
+approx-quantile boundary aggregate, and <=B-row bucket-offset frames —
+each moving one partial row per upstream task; no data-bearing
+exchange is single-partition, which is the property that dies at
+scale.)  Then a join on (group, feature, out_pos) pairs each
 output position's left/right tail probabilities, and a grouped sum
 finishes the score — all JVM-side, whole-stage-codegen friendly.
 """

@@ -48,10 +48,14 @@ class HBOS(SparkDetector):
         n_bins: int = 10,
         alpha: float = 0.1,
         strategy: str = "distributed",
+        n_cells_hint: int | None = None,
     ):
         super().__init__(contamination, strategy)
         self.n_bins = n_bins
         self.alpha = alpha
+        # caller-known (group x feature) cell count; when provided and
+        # under budget the broadcast-vs-join sizing job is skipped
+        self.n_cells_hint = n_cells_hint
 
     _supports_keep_cols = True
 
@@ -84,7 +88,13 @@ class HBOS(SparkDetector):
         # on the driver: a limit(budget+1).count() touches at most
         # budget+1 rows, so an over-budget model never reaches the driver
         st_w = stats.withColumn("w", width)
-        if st_w.limit(_MODEL_CELL_BUDGET + 1).count() > _MODEL_CELL_BUDGET:
+        hint = self.n_cells_hint
+        over_budget = (
+            hint > _MODEL_CELL_BUDGET
+            if hint is not None
+            else st_w.limit(_MODEL_CELL_BUDGET + 1).count() > _MODEL_CELL_BUDGET
+        )
+        if over_budget:
             scores = self._scores_via_joins(
                 feat, fkeys, stats, width, group_cols, id_col
             )

@@ -11,8 +11,9 @@ standard scale shape is two-pass range ranking:
    bucket, so tie groups never straddle buckets);
 2. per-bucket counts (a partial-aggregated shuffle of B rows per
    ranking domain) give each bucket's global rank offset through a
-   cumulative sum over the *counts* frame — a window over at most B
-   metadata rows per domain, never over data rows;
+   cumulative sum over the *counts* frame — a per-group window for
+   grouped domains, a broadcast self-join for the ungrouped case, so
+   NO plan contains a single-partition exchange (cf. _cum_offsets);
 3. the only full-data shuffle is keyed by (domain..., bucket), so no
    task sorts more than ~n/B rows; a row's global rank is its bucket
    offset plus its row_number within the bucket.
@@ -56,6 +57,63 @@ def _with_bucket(
     return df.withColumn("__bucket", bucket).drop("__bnds")
 
 
+def _cum_offsets(cnts: DataFrame, part_cols: Sequence[str],
+                 specs: Sequence[tuple]) -> DataFrame:
+    """Strict cumulative sums over the per-bucket counts frame, with
+    NO single-partition exchange anywhere:
+
+    * grouped domains — a window partitioned by the group key
+      (parallel across groups, <= n_buckets rows per group);
+    * ungrouped — the counts frame is <= n_buckets rows total, so a
+      broadcast self-join with conditional sums replaces the
+      ``partitionBy(lit(1))`` window (O(n_buckets^2) tiny rows,
+      hash-partitioned aggregation, never one task holding the data).
+
+    specs: (val_col, out_asc_or_None, out_desc_or_None) per value.
+    """
+    if part_cols:
+        wp = Window.partitionBy(*part_cols)
+        cum = lambda val, order: F.coalesce(  # noqa: E731
+            F.sum(val).over(
+                wp.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        out = cnts
+        for val, oa, od in specs:
+            if oa:
+                out = out.withColumn(oa, cum(val, F.col("__bucket").asc()))
+            if od:
+                out = out.withColumn(od, cum(val, F.col("__bucket").desc()))
+        return out
+    vals = [v for v, _, _ in specs]
+    other = cnts.select(
+        F.col("__bucket").alias("__ob"),
+        *[F.col(v).alias(f"__ov_{v}") for v in vals],
+    )
+    aggs = []
+    for val, oa, od in specs:
+        if oa:
+            aggs.append(
+                F.sum(
+                    F.when(F.col("__ob") < F.col("__bucket"), F.col(f"__ov_{val}"))
+                    .otherwise(0)
+                ).alias(oa)
+            )
+        if od:
+            aggs.append(
+                F.sum(
+                    F.when(F.col("__ob") > F.col("__bucket"), F.col(f"__ov_{val}"))
+                    .otherwise(0)
+                ).alias(od)
+            )
+    return (
+        cnts.crossJoin(F.broadcast(other))
+        .groupBy("__bucket", *vals)
+        .agg(*aggs)
+    )
+
+
 def bucketed_ranks(
     df: DataFrame,
     key: str,
@@ -72,21 +130,9 @@ def bucketed_ranks(
     part_cols = list(part_cols)
     df = _with_bucket(df, key, part_cols, n_buckets)
     cnts = df.groupBy(*part_cols, "__bucket").agg(F.count(F.lit(1)).alias("__bc"))
-    # cumulative offsets over the counts frame: <= n_buckets rows per
-    # ranking domain (metadata, not data)
-    wp = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy(F.lit(1))
-    cum = lambda order: F.coalesce(  # noqa: E731
-        F.sum("__bc").over(
-            wp.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0),
-    )
-    offs = cnts.select(
-        *part_cols,
-        "__bucket",
-        cum(F.col("__bucket").asc()).alias("__off_a"),
-        cum(F.col("__bucket").desc()).alias("__off_d"),
-    )
+    offs = _cum_offsets(
+        cnts, part_cols, [("__bc", "__off_a", "__off_d")]
+    ).select(*part_cols, "__bucket", "__off_a", "__off_d")
     df = df.join(F.broadcast(offs), on=[*part_cols, "__bucket"])
     bw = Window.partitionBy(*part_cols, "__bucket")
     if out_asc:
@@ -118,20 +164,12 @@ def bucketed_cumsums(
     df = _with_bucket(df, key, part_cols, n_buckets)
     sums = [F.sum(c).alias(f"__s_{c}") for c in vals]
     cnts = df.groupBy(*part_cols, "__bucket").agg(*sums)
-    wp = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy(F.lit(1))
-    order = F.col("__bucket").desc() if descending else F.col("__bucket").asc()
-    offs = cnts.select(
-        *part_cols,
-        "__bucket",
-        *[
-            F.coalesce(
-                F.sum(f"__s_{c}").over(
-                    wp.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).alias(f"__off_{c}")
-            for c in vals
-        ],
+    specs = [
+        (f"__s_{c}", None, f"__off_{c}") if descending else (f"__s_{c}", f"__off_{c}", None)
+        for c in vals
+    ]
+    offs = _cum_offsets(cnts, part_cols, specs).select(
+        *part_cols, "__bucket", *[f"__off_{c}" for c in vals]
     )
     df = df.join(F.broadcast(offs), on=[*part_cols, "__bucket"])
     bw = Window.partitionBy(*part_cols, "__bucket").orderBy(

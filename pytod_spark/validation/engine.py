@@ -211,7 +211,12 @@ class ValidationSuite:
 
             def _job_drift():
                 det_cls = ALL_DETECTORS[self.detector]
-                det = det_cls(contamination=self.contamination, **self.detector_params)
+                params = dict(self.detector_params)
+                if self.detector == "hbos" and "n_cells_hint" not in params:
+                    # the engine knows the model size exactly:
+                    # one histogram per (pending partition, feature)
+                    params["n_cells_hint"] = len(pending) * len(FEATURE_COLS)
+                det = det_cls(contamination=self.contamination, **params)
                 # keep_cols passthrough: map-side detector plans carry
                 # the business key + invariant hash through scoring,
                 # so no n-row join is needed afterwards

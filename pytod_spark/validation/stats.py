@@ -1,12 +1,21 @@
 """Per-partition column statistics (north_rule: null rate, distinct
 via HLL, min/max, quantile sketches).
 
-One grouped aggregation pass computes every metric for every column
-(wide agg), then an unpivot produces the long-format profile — a
-single shuffle on the partition key regardless of column count.
+Plan shape: the columns are unpivoted FIRST (a stack projection — no
+shuffle) and the aggregation groups on (partition, column). With G
+partitions and C columns the final sketch-merge stage runs G*C tasks
+instead of G: a wide per-partition agg bottlenecks on G reducers
+merging every column's HLL/KLL partials (measured: the stats check
+scaled 100s -> 45s from 2 to 32 cores because 5 lang groups = 5 merge
+tasks); long-format grouping restores reducer parallelism while the
+map side still partial-aggregates each (partition, column) to one
+sketch per task — shuffle volume is sketches, not rows.
+
 Distinct counts use approx_count_distinct (HLL++) by default, the
 only sketch that survives 10^12 rows; ``exact=True`` switches to
-count_distinct for oracle-checkable runs."""
+count_distinct for oracle-checkable runs. Values are cast to double
+in the long frame (the numeric feature domain is injective under the
+cast, so distinct counts are unchanged)."""
 
 from __future__ import annotations
 
@@ -27,29 +36,21 @@ def column_stats(
     """Long-format profile: one row per (partition, column)."""
     cols = list(cols)
     group_cols = list(group_cols)
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        col = F.col(c)
-        distinct = (
-            F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
-        )
-        aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"{c}__n_null"),
-            distinct.alias(f"{c}__n_distinct"),
-            F.min(col).cast("double").alias(f"{c}__min_v"),
-            F.max(col).cast("double").alias(f"{c}__max_v"),
-            F.avg(col).alias(f"{c}__mean_v"),
-            F.stddev_samp(col).alias(f"{c}__std_v"),
-            F.percentile_approx(col, 0.5).cast("double").alias(f"{c}__p50"),
-            F.percentile_approx(col, 0.95).cast("double").alias(f"{c}__p95"),
-        ]
-    wide = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
-
-    # unpivot: one stack expression, no extra shuffle
-    per_col_metrics = [m for m in METRICS if m != "n"]
-    stack_args = []
-    for c in cols:
-        fields = ", ".join(f"`{c}__{m}`" for m in per_col_metrics)
-        stack_args.append(f"'{c}', {fields}")
-    stack = f"stack({len(cols)}, {', '.join(stack_args)}) as (col_name, {', '.join(per_col_metrics)})"
-    return wide.selectExpr(*group_cols, "__n as n_rows", stack)
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    long = df.selectExpr(
+        *group_cols, f"stack({len(cols)}, {stack_args}) as (col_name, v)"
+    )
+    v = F.col("v")
+    distinct = F.count_distinct(v) if exact_distinct else F.approx_count_distinct(v)
+    out = long.groupBy(*group_cols, "col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(v.isNull().cast("long")).alias("n_null"),
+        distinct.alias("n_distinct"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.avg(v).alias("mean_v"),
+        F.stddev_samp(v).alias("std_v"),
+        F.percentile_approx(v, 0.5).cast("double").alias("p50"),
+        F.percentile_approx(v, 0.95).cast("double").alias("p95"),
+    )
+    return out

@@ -14,10 +14,10 @@ Methodology (see BENCH/BASELINE.md for the numbers and rationale):
   disk otherwise injects a serial I/O term that a real cluster
   multiplies per-executor; tmpfs factors the shared-disk artifact
   out of what the rule asks about (compute/plan scaling);
-* each level runs --reps times in one JVM and reports the best
-  repetition — the first absorbs JIT, Python worker spawn, and the
-  hypervisor's slow first-touch page faults, and host noise is
-  one-sided additive;
+* each level repeats inside one JVM until an equal wall budget is
+  spent (min 2, max 8 reps) and reports the best repetition — warmup
+  (JIT, Python worker spawn, hypervisor first-touch faults) accrues
+  with wall time, and host noise is one-sided additive;
 * levels run sequentially with nothing else on the host.
 
 Writes BENCH/BASELINE.md. Usage:
@@ -43,14 +43,19 @@ sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = "16g"
 from pytod_spark.session import get_spark
 from pytod_spark.validation import ValidationSuite
-cpus, reps, shm = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+cpus, budget, shm = sys.argv[1], float(sys.argv[2]), sys.argv[3]
 spark = get_spark("scaling", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(8, 4 * int(cpus)),
                   extra_conf={{"spark.ui.enabled": "false",
                               "spark.local.dir": os.path.join(shm, "spark-tmp")}})
 corpus = spark.read.parquet(os.path.join(shm, "corpus"))
 parent = spark.read.parquet(os.path.join(shm, "parent"))
-for rep in range(reps):
+# equal-warmup methodology: each level repeats until the same wall
+# budget is spent (min 2, max 8 reps) — JIT/allocator warmup scales
+# with wall time in the JVM, not rep count, so fixed-rep comparison
+# under-warms the faster (higher-parallelism) levels
+t_start, rep = time.time(), 0
+while rep < 2 or (time.time() - t_start < budget and rep < 8):
     rd = os.path.join(shm, f"run_{{cpus}}_{{rep}}")
     shutil.rmtree(rd, ignore_errors=True)
     t0 = time.time()
@@ -62,6 +67,7 @@ for rep in range(reps):
                       "rows": m["stage_a_rows"],
                       "phases": m["phase_times"]}}), flush=True)
     shutil.rmtree(rd, ignore_errors=True)
+    rep += 1
 spark.stop()
 """
 
@@ -83,9 +89,9 @@ def ensure_corpus(rows: int) -> None:
             shutil.copytree(src, d)
 
 
-def run_level(cpus: int, reps: int) -> dict:
+def run_level(cpus: int, budget_sec: float) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER.format(repo=REPO), str(cpus), str(reps), SHM],
+        [sys.executable, "-c", WORKER.format(repo=REPO), str(cpus), str(budget_sec), SHM],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
@@ -104,14 +110,15 @@ def run_level(cpus: int, reps: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=8_000_000)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--budget-sec", type=float, default=480.0,
+                    help="per-level wall budget; reps run until spent (min 2, max 8)")
     ap.add_argument("--levels", type=int, nargs="+", default=[2, 8, 32])
     args = ap.parse_args()
 
     ensure_corpus(args.rows)
     res: dict[int, dict] = {}
     for cpus in args.levels:
-        res[cpus] = run_level(cpus, args.reps)
+        res[cpus] = run_level(cpus, args.budget_sec)
         print(f"local[{cpus}]: {res[cpus]['files_per_sec']} files/sec "
               f"({res[cpus]['suite_sec']}s)", flush=True)
 
@@ -134,10 +141,13 @@ cross-partition normalization -> global threshold -> per-partition
 verdicts; deterministic synthetic corpus of {args.rows:,} rows with
 injected duplicates/orphans/drift) at three parallelism levels of one
 local-mode JVM over the same input. Reported value per level = the
-best of {args.reps} repetitions in one JVM (rep 0 absorbs JIT +
-Python-worker warmup; host noise here is one-sided additive, so the
-fastest rep estimates machine capability — all reps are listed in the
-raw results); levels ran sequentially on an otherwise idle host.
+best repetition within an equal per-level wall budget
+({args.budget_sec:.0f}s, min 2 / max 8 reps in one JVM) — JIT and
+allocator warmup accrue with wall time, so equal-rep comparison
+under-warms the faster levels; host noise here is one-sided additive,
+so the fastest rep estimates machine capability (all reps are listed
+in the raw results); levels ran sequentially on an otherwise idle
+host.
 
 | parallelism | files validated/sec | suite wall (s) |
 |---|---|---|

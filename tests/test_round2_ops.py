@@ -257,3 +257,15 @@ def test_binom_cdf_vec_matches_summation():
             v = binom_cdf_vec(k, n, ps)
             e = np.array([_binom_cdf(k, n, p) for p in ps])
             np.testing.assert_allclose(v, e, atol=1e-10)
+
+
+def test_sources_resolution(spark, tmp_path):
+    from pytod_spark.sources import load_table, write_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    p = str(tmp_path / "t.parquet")
+    write_table(df, p)
+    assert load_table(spark, p).count() == 2
+    df.createOrReplaceTempView("src_view")
+    assert load_table(spark, "table:src_view").count() == 2
+    assert load_table(spark, "src_view").count() == 2
