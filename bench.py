@@ -57,6 +57,9 @@ def main() -> int:
     ap.add_argument("--suite-only", action="store_true")
     ap.add_argument("--rows", type=int, default=int(os.environ.get("BENCH_ROWS", 100_000)))
     ap.add_argument("--skip-suite", action="store_true")
+    ap.add_argument("--query-reps", type=int, default=2,
+                    help="catalogue-query passes; the last (steady-state) "
+                    "pass is reported")
     ap.add_argument(
         "--repeats", type=int, default=1,
         help="suite repetitions in one JVM; the reported time is the last "
@@ -83,10 +86,15 @@ def main() -> int:
     if not args.suite_only:
         from pytod_spark.queries import QUERIES
 
-        for name in BENCH_QUERIES:
-            t0 = time.time()
-            _materialize(QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+        # two passes, report the second: the first absorbs JIT, Python
+        # worker spawn and the sandbox's slow first-touch page faults
+        # (measured 24.3s cold -> 2.4s steady for the kNN join at
+        # sf0.1) — same steady-state methodology as scripts/run_scaling
+        for rep in range(max(1, args.query_reps)):
+            for name in BENCH_QUERIES:
+                t0 = time.time()
+                _materialize(QUERIES[name](spark, sf_dir))
+                timings[name] = round(time.time() - t0, 3)
 
     files_per_sec = None
     if not args.skip_suite:
