@@ -102,3 +102,76 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(
         kernel, schema="doc_id long, pix_mean double, pix_std double, width int, height int"
     )
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize plumbing: (fake-)decode, nearest-neighbor resample to
+    (out_h, out_w), re-emit as bytes + typed dims. Nearest-neighbor
+    index math is pure numpy (a real pipeline swaps in a codec/SIMD
+    resampler; batch shape, schema and partitioning are identical)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, blobs, ws, hs, cs = [], [], [], [], []
+            for i in range(len(pdf)):
+                img = decode_image(bytes(pdf["payload"].iloc[i]), fake=True)
+                h, w, c = img.shape
+                yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+                resized = img[yi][:, xi]
+                ids.append(int(pdf[id_col].iloc[i]))
+                blobs.append(resized.tobytes())
+                ws.append(out_w)
+                hs.append(out_h)
+                cs.append(c)
+            yield pd.DataFrame(
+                {"doc_id": ids, "pixels": blobs, "width": ws, "height": hs,
+                 "channels": cs}
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema="doc_id long, pixels binary, width int, height int, channels int",
+    )
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: treat the
+    payload as a stream of fixed-size pseudo-frames, emit every
+    (len/n)-th frame as (doc_id, frame_idx, frame_sha, n_bytes) — one
+    output row per sampled frame (the explode shape a real ffmpeg
+    keyframe sampler produces). Deterministic; no codec needed for the
+    plumbing contract."""
+    frame_bytes = 256
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, shas, sizes = [], [], [], []
+            for i in range(len(pdf)):
+                payload = bytes(pdf["payload"].iloc[i])
+                total = max(1, len(payload) // frame_bytes)
+                step = max(1, total // n_frames)
+                for k, f in enumerate(range(0, total, step)):
+                    if k >= n_frames:
+                        break
+                    chunk = payload[f * frame_bytes:(f + 1) * frame_bytes]
+                    ids.append(int(pdf[id_col].iloc[i]))
+                    idxs.append(f)
+                    shas.append(hashlib.sha256(chunk).hexdigest())
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_sha": shas,
+                 "n_bytes": sizes}
+            )
+
+    return df.mapInPandas(
+        kernel, schema="doc_id long, frame_idx int, frame_sha string, n_bytes int"
+    )

@@ -269,3 +269,26 @@ def test_sources_resolution(spark, tmp_path):
     df.createOrReplaceTempView("src_view")
     assert load_table(spark, "table:src_view").count() == 2
     assert load_table(spark, "src_view").count() == 2
+
+
+def test_multimodal_resize_and_frames(spark, docs):
+    from pytod_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    payload = attach_binary_payload(docs)
+    rs = resize_images(payload, out_w=8, out_h=6).toPandas()
+    assert set(rs["width"]) == {8} and set(rs["height"]) == {6}
+    assert len(rs) == payload.count()
+    for _, row in rs.iterrows():
+        assert len(row["pixels"]) == 8 * 6 * row["channels"]
+    fr = sample_frames(payload, n_frames=3).toPandas()
+    assert (fr.groupby("doc_id").size() <= 3).all()
+    assert fr["n_bytes"].between(1, 256).all()
+    # determinism: same payload -> same frame hashes
+    fr2 = sample_frames(payload, n_frames=3).toPandas()
+    assert fr.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True).equals(
+        fr2.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    )
