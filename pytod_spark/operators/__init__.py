@@ -1,3 +1,17 @@
-from .block_knn import knn_join, knn_scores_df  # noqa: F401
-from .range_join import neighbor_within_range  # noqa: F401
+from .block_knn import estimate_rows, knn_join, knn_scores_df  # noqa: F401
+from .range_join import (  # noqa: F401
+    get_indices_clear_pairs,
+    neighbor_within_range,
+    neighbor_within_range_low_prec,
+    neighbor_within_range_low_prec_float,
+)
+from .ranking import bucketed_cumsums, bucketed_ranks, with_group_size  # noqa: F401
+from .similarity import (  # noqa: F401
+    ann_cosine_topk,
+    ann_neardup_pairs,
+    cosine_pairs,
+    cosine_topk_join,
+    rp_lsh_buckets,
+    rp_lsh_candidate_pairs,
+)
 from .thresholds import add_threshold_labels  # noqa: F401
