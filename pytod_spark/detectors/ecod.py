@@ -52,10 +52,14 @@ class ECOD(SparkDetector):
         # base feeds the exploded rank pipeline (bounds agg, bucket
         # counts, bucket join) and the final pos_map — 4+ consumers of
         # a join-bearing subtree; persist the narrow frame so each
-        # consumer replays a cached scan instead of the rank joins
+        # consumer replays a cached scan instead of the rank joins.
+        # Tracked (operators/cache.py) so sessions running many queries
+        # can release it between queries.
         from pyspark import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        from ..operators.cache import track
+
+        base = track(base.persist(StorageLevel.MEMORY_AND_DISK))
         feat = base.select(
             *group_cols,
             id_col,

@@ -153,7 +153,9 @@ def minhash_dedup_pairs(
     than 3x re-shingling."""
     from pyspark import StorageLevel
 
-    sh = shingle_df(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    from .cache import track
+
+    sh = track(shingle_df(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK))
     sigs = minhash_signatures(df, id_col, text_col, n, shingled=sh)
     cands = lsh_candidate_pairs(sigs, id_col)
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -51,13 +51,17 @@ def _range_join(
     if low_prec_dtype is not None:
         # the reference derives the band from the global max feature
         # value (intermediate_layers.py:30-31) — one scalar aggregate.
-        # Deviation: the reference leaves machine_eps at the fp64
-        # default even in its half-precision variant, giving a band
-        # far smaller than fp16 rounding error (so its refine can miss
-        # mis-rounded pairs); we feed the bound the eps of the actual
-        # compute dtype, which is what makes output == exact provable.
+        # Deviations that make output == exact provable: (1) we feed the
+        # bound the eps of the actual compute dtype (the reference leaves
+        # machine_eps at the fp64 default even in its half-precision
+        # variant); (2) we take the max ABSOLUTE value, not torch.max —
+        # for mostly-negative domains |min| > max and the reference's
+        # band underestimates the rounding error.
+        feats = F.col(features_col).cast("array<double>")
         max_val = float(
-            df.select(F.max(F.array_max(F.col(features_col).cast("array<double>")))).first()[0]
+            df.select(
+                F.max(F.greatest(F.abs(F.array_min(feats)), F.abs(F.array_max(feats))))
+            ).first()[0]
         )
         dim = len(df.select(features_col).first()[0])
         err = get_bounded_error(

@@ -60,6 +60,19 @@ SELECT ai AS row_id, round(dist, 4) AS score FROM r WHERE rn = {K + 1} ORDER BY 
 """
 
 
+def q_knn_scores_lowprec(spark, sf_dir):
+    """fp32 filter-and-refine kth-NN distance (pytod
+    basic_operators.py:96-137 bottomk_low_prec): ambiguous rows are
+    re-ranked exactly and distances are always gathered at fp64, so by
+    construction the output equals q_knn_scores — it shares that exact
+    oracle; the oracle IS the claim that low precision changed
+    nothing."""
+    s = knn_scores_df(
+        emb(spark, sf_dir), n_neighbors=K, block_size=KNN_BLOCK, precision="low"
+    )
+    return s.select("row_id", F.round("score", 4).alias("score")).orderBy("row_id")
+
+
 def q_knn_neighbors(spark, sf_dir):
     """kNN pair list (self excluded), the central kNN-join intermediate
     (pytod intermediate_layers.py:214-227)."""
@@ -166,11 +179,51 @@ SELECT event_type, event_id AS row_id, round(-fs, 4) AS score FROM fin ORDER BY 
 
 
 def q_pca_scores(spark, sf_dir):
-    """PCA distance-to-eigenvector score (pytod pca.py:107-123);
-    deterministic eigendecomposition — no SQL oracle (driver records
-    rows-only), parity asserted vs the numpy oracle in pytest."""
+    """PCA distance-to-eigenvector score (pytod pca.py:107-123).
+    Oracle: generated DuckDB SQL with the eigenvectors inlined as
+    literals — see sql_pca_scores."""
     s = PCA(n_components=5, strategy="distributed").score_df(emb(spark, sf_dir))
     return s.select("row_id", F.round("score", 4).alias("score")).orderBy("row_id")
+
+
+def sql_pca_scores(sf_dir: str, n_components: int = 5) -> str | None:
+    """Generated DuckDB oracle for the 64-d PCA score.
+
+    The deterministic eigh makes V and the explained-variance ratios
+    stable constants of the input table, so (same pattern as the
+    RP-LSH hyperplanes, queries_text._duck_sig) they are inlined as
+    literals: score = sum_j dist(x, v_j) / evr_j (pytod
+    pca.py:122-123). The fit here is the *independent* numpy-oracle
+    path (pyarrow read + oracle.detectors.pca_eigvectors — centered
+    covariance), not the Spark one-pass Gram aggregation, so the SQL
+    checks both the scoring formula and the fitted model. Returns None
+    when the parquet is unreadable (entry then degrades to rows-only).
+    """
+    import numpy as np
+
+    try:
+        import pyarrow.parquet as pq
+
+        tb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        X = np.asarray(tb.column("embedding").to_pylist(), dtype=np.float64)
+    except Exception:
+        return None
+    from .oracle.detectors import pca_eigvectors
+
+    V = pca_eigvectors(X, n_components)
+    vars_by_pc = (X @ V).var(axis=0, ddof=1)
+    evr = vars_by_pc / vars_by_pc.sum()
+    terms = []
+    for j in range(V.shape[1]):
+        sq = " + ".join(
+            f"power(emb[{i + 1}] - {float(V[i, j])!r}, 2)" for i in range(V.shape[0])
+        )
+        terms.append(f"sqrt({sq}) / {float(evr[j])!r}")
+    score = "\n     + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT vec_id AS row_id, round({score}, 4) AS score FROM e ORDER BY row_id
+"""
 
 
 def q_pca_scores_2d(spark, sf_dir):
@@ -616,11 +669,16 @@ def q_ri_orders_customer(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"))
     orphans = o.join(c, on="o_custkey", how="left_anti")
-    n_child = o.count()
-    return orphans.agg(
-        F.lit(n_child).alias("n_child"),
-        F.count(F.lit(1)).alias("n_orphans"),
-        F.count_distinct("o_custkey").alias("n_orphan_keys"),
+    # n_child joins in as a broadcast 1-row frame (same shape as the
+    # oracle's count subquery) — one Spark job, no eager driver count
+    totals = o.agg(F.count(F.lit(1)).alias("n_child"))
+    return (
+        orphans.agg(
+            F.count(F.lit(1)).alias("n_orphans"),
+            F.count_distinct("o_custkey").alias("n_orphan_keys"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select("n_child", "n_orphans", "n_orphan_keys")
     )
 
 
@@ -636,11 +694,14 @@ def q_ri_lineitem_orders(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
     orphans = li.join(o, on="l_orderkey", how="left_anti")
-    n_child = li.count()
-    return orphans.agg(
-        F.lit(n_child).alias("n_child"),
-        F.count(F.lit(1)).alias("n_orphans"),
-        F.count_distinct("l_orderkey").alias("n_orphan_keys"),
+    totals = li.agg(F.count(F.lit(1)).alias("n_child"))
+    return (
+        orphans.agg(
+            F.count(F.lit(1)).alias("n_orphans"),
+            F.count_distinct("l_orderkey").alias("n_orphan_keys"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select("n_child", "n_orphans", "n_orphan_keys")
     )
 
 
@@ -667,6 +728,7 @@ def _merge_extra():
 
 QUERIES = {
     "knn_scores": q_knn_scores,
+    "knn_scores_lowprec": q_knn_scores_lowprec,
     "knn_neighbors": q_knn_neighbors,
     "lof_scores": q_lof_scores,
     "ecod_scores": q_ecod_scores,
@@ -692,13 +754,15 @@ QUERIES = {
 
 ORACLES = {
     "knn_scores": SQL_KNN_SCORES,
+    # identical-output precision optimization -> same exact oracle
+    "knn_scores_lowprec": SQL_KNN_SCORES,
     "knn_neighbors": SQL_KNN_NEIGHBORS,
     "lof_scores": SQL_LOF_SCORES,
     "ecod_scores": SQL_ECOD_SCORES,
     "hbos_events": SQL_HBOS_EVENTS,
     "abod_scores": SQL_ABOD_SCORES,
-    # pca_scores: intentionally no SQL oracle (64-d driver-side eigh);
-    # rows-only — the value-checked PCA row is pca_scores_2d below
+    # pca_scores: generated below (_render_generated) — eigenvector
+    # literals are data-dependent; pca_scores_2d stays the closed-form row
     "pca_scores_2d": SQL_PCA_SCORES_2D,
     "ecdf_events": SQL_ECDF_EVENTS,
     "hist_events": SQL_HIST_EVENTS,
@@ -717,4 +781,19 @@ ORACLES = {
 }
 
 
+# oracles whose SQL carries data-dependent literals (stable constants
+# of the input table). Rendered at import for the driver's comparison
+# scale; scripts/check_queries.py re-renders for other sf_dirs.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+GENERATED_ORACLES = {"pca_scores": sql_pca_scores}
+
+
+def render_generated_oracles(sf_dir: str = DRIVER_SF_DIR) -> None:
+    for name, gen in GENERATED_ORACLES.items():
+        sql = gen(sf_dir)
+        if sql:
+            ORACLES[name] = sql
+
+
 _merge_extra()
+render_generated_oracles()

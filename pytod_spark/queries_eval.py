@@ -83,11 +83,13 @@ c AS (SELECT pos, neg,
         coalesce(sum(neg) OVER (ORDER BY sc DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_above
       FROM per),
-t AS (SELECT sum(pos) AS p FROM per)
-SELECT round((pos_above + greatest(0, (p - pos_above - neg_above) - neg))::DOUBLE
-             / p, 4) AS p_at_n
-FROM c, t
-WHERE pos_above + neg_above < p AND pos_above + neg_above + pos + neg >= p
+t AS (SELECT sum(pos) AS p FROM per),
+b AS (SELECT max(pos_above + greatest(0, (p - pos_above - neg_above) - neg)) AS hits
+      FROM c, t
+      WHERE pos_above + neg_above < p AND pos_above + neg_above + pos + neg >= p)
+SELECT CASE WHEN t.p > 0
+            THEN round((SELECT hits FROM b)::DOUBLE / t.p, 4) END AS p_at_n
+FROM t
 """
 )
 

@@ -326,7 +326,7 @@ def _duck_sig(n_planes: int = 12, dim: int = 64, seed: int = 42) -> str:
     planes = S._hyperplanes(dim, n_planes, seed)
     terms = []
     for i in range(n_planes):
-        dot = " + ".join(f"emb[{j + 1}] * {planes[i, j]!r}" for j in range(dim))
+        dot = " + ".join(f"emb[{j + 1}] * {float(planes[i, j])!r}" for j in range(dim))
         terms.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
     return "(" + " + ".join(terms) + ")::BIGINT"
 

@@ -77,8 +77,15 @@ def precision_at_n(scored: DataFrame, score_col: str = "score", label_col: str =
     )
     need = F.col("p_total") - cnt_above
     from_boundary = F.greatest(F.lit(0), need - F.col("neg"))
-    return boundary.select(
-        F.round(
-            (F.col("pos_above") + from_boundary) / F.col("p_total"), 4
+    # aggregate-to-one-row so the zero-positive case (no boundary group
+    # matches; p_at_n would be 0/0) yields a single NULL row rather
+    # than an empty frame
+    hits = boundary.agg(
+        F.max(F.col("pos_above") + from_boundary).alias("hits")
+    )
+    return hits.crossJoin(F.broadcast(totals)).select(
+        F.when(
+            F.col("p_total") > 0,
+            F.round(F.col("hits") / F.col("p_total"), 4),
         ).alias("p_at_n")
     )

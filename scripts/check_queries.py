@@ -51,7 +51,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     for c in sorted(spark_pdf.columns):
         sk = spark_pdf[c].dtype.kind
         dk = duck_pdf[c].dtype.kind
-        if sk != dk and {sk, dk} != {"O", "O"}:
+        if sk != dk:
             problems.append(
                 f"col {c}: dtype-kind mismatch spark={spark_pdf[c].dtype} "
                 f"duck={duck_pdf[c].dtype} (driver hash would differ)"
@@ -81,8 +81,12 @@ def main():
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
-    from pytod_spark.queries import ORACLES, QUERIES
+    from pytod_spark.queries import ORACLES, QUERIES, render_generated_oracles
     from pytod_spark.session import get_spark
+
+    # data-dependent oracles (PCA eigenvector literals) are rendered
+    # for the driver's sf0.01 at import; re-render for this sf_dir
+    render_generated_oracles(sf_dir)
 
     spark = get_spark("check-queries", master="local[8]", shuffle_partitions=8,
                       extra_conf={"spark.ui.enabled": "false"})
