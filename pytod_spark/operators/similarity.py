@@ -132,19 +132,42 @@ def rp_lsh_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """Random-hyperplane signature: bit_i = (x . h_i) >= 0. Vectors
-    with equal signatures are near-duplicate candidates. Pure column
-    arithmetic: the (small) plane matrix is inlined as literal
-    expressions, so the whole thing stays in codegen."""
+    with equal signatures are near-duplicate candidates.
+
+    Narrow signatures (n_planes * dim <= 1024) inline the plane matrix
+    as literal expressions — the whole thing stays in whole-stage
+    codegen. Wider signatures would blow the JVM's 64 KB generated-
+    method limit (codegen fails, Spark falls back to per-node
+    interpreted eval — measured ~50x slower), so they run as ONE
+    Arrow-batched matmul: X @ planes.T, signs, bit-packed, still one
+    narrow pass with no shuffle."""
     planes = _hyperplanes(dim, n_planes, seed)
     feats = F.col(features_col).cast("array<double>")
-    sig = F.lit(0).cast("long")
-    for i in range(n_planes):
-        dot = None
-        for j in range(dim):
-            term = F.element_at(feats, j + 1) * float(planes[i, j])
-            dot = term if dot is None else dot + term
-        sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(0)
-    return df.select(F.col(id_col), sig.alias("bucket"))
+    if n_planes * dim <= 1024:
+        sig = F.lit(0).cast("long")
+        for i in range(n_planes):
+            dot = None
+            for j in range(dim):
+                term = F.element_at(feats, j + 1) * float(planes[i, j])
+                dot = term if dot is None else dot + term
+            sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(0)
+        return df.select(F.col(id_col), sig.alias("bucket"))
+
+    P = planes.T.copy()  # (dim, n_planes)
+    weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def sig_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["__feat"].to_numpy()).astype(np.float64, copy=False)
+            bucket = ((X @ P >= 0) * weights).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket})
+
+    return df.select(F.col(id_col), feats.alias("__feat")).mapInPandas(
+        sig_batches, schema=f"`{id_col}` {id_type}, bucket long"
+    )
 
 
 def rp_lsh_candidate_pairs(
@@ -203,25 +226,63 @@ def rp_lsh_candidate_pairs(
     )
 
 
+def choose_lsh_params(
+    threshold: float, target_recall: float = 0.85, max_planes: int = 48
+) -> tuple[int, int]:
+    """Pick (n_planes, n_bands) for sign-LSH banding at a given cosine
+    threshold so the at-threshold recall meets ``target_recall``.
+
+    Sign-LSH bit-agreement probability for a pair at angle theta is
+    p = 1 - theta/pi (Charikar, STOC'02). With n_bands disjoint bands
+    of w bits each, recall = 1 - (1 - p^w)^n_bands. Among all (w, b)
+    with w*b <= max_planes meeting the target, picks the one that
+    minimizes the random-pair candidate rate 1 - (1 - 0.5^w)^b
+    (best selectivity). Low thresholds (weak p-vs-0.5 gap) therefore
+    cost many planes and admit a higher candidate rate — inherent to
+    sign-LSH, not a tuning failure; callers that need both low
+    threshold and high selectivity should raise max_planes or use the
+    exact tile path."""
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    best = None
+    for w in range(1, max_planes + 1):
+        pw = p**w
+        if pw >= 1.0:
+            b = 1
+        else:
+            b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pw))
+        if w * b > max_planes:
+            continue
+        rand_rate = 1.0 - (1.0 - 0.5**w) ** b
+        if best is None or rand_rate < best[0]:
+            best = (rand_rate, w, b)
+    _, w, b = best
+    return w * b, b
+
+
 def ann_neardup_pairs(
     df: DataFrame,
     threshold: float,
     dim: int,
-    n_planes: int = 12,
-    n_bands: int = 3,
+    n_planes: int | None = None,
+    n_bands: int | None = None,
     id_col: str = "row_id",
     features_col: str = "features",
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup at scale: banded RP-LSH candidates refined by
     exact cosine — the candidate join replaces the O(n^2) tile sweep of
-    ``cosine_pairs``; recall < 1 by LSH design (measure vs the
-    brute-force path at validation scale, see tests/test_similarity).
+    ``cosine_pairs``; recall < 1 by LSH design (measured vs the
+    brute-force path in tests/test_similarity.py).
+
+    When n_planes/n_bands are not given they are chosen per threshold
+    by ``choose_lsh_params`` so at-threshold recall is >= 0.85.
 
     The refine stays JVM-side: unit-normalize once per side with
     ``transform``/``aggregate`` higher-order functions, then the dot
     product via ``zip_with`` + ``aggregate`` — no Python in the pair
     path."""
+    if n_planes is None or n_bands is None:
+        n_planes, n_bands = choose_lsh_params(threshold)
     cands = rp_lsh_candidate_pairs(
         df, dim, n_planes, id_col, features_col, seed, n_bands
     )

@@ -436,6 +436,59 @@ FROM events e JOIN st USING (event_type) ORDER BY row_id
 """
 
 
+def _events_split(spark, sf_dir):
+    """Deterministic train/test split of the events value column —
+    even event_ids fit the model, odd ones are scored."""
+    ev = load(spark, sf_dir, "events")
+    train = ev.where(F.col("event_id") % 2 == 0).select(F.col("value").alias("score"))
+    test = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", F.col("value").alias("score")
+    )
+    return train, test
+
+
+def q_predict_labels_events(spark, sf_dir):
+    """predict() on held-out scores (pytod base.py:143-172): threshold
+    fitted on the train half at contamination 0.1, labels on the test
+    half."""
+    from .detectors.predict import fitted_state, predict_labels
+
+    train, test = _events_split(spark, sf_dir)
+    out = predict_labels(test, fitted_state(train, contamination=0.1))
+    return out.select(
+        "event_id", F.round("score", 4).alias("score"), "label"
+    ).orderBy("event_id")
+
+
+SQL_PREDICT_LABELS_EVENTS = """
+WITH th AS (SELECT quantile_cont(value, 0.9) AS thr FROM events WHERE event_id % 2 = 0)
+SELECT event_id, round(value, 4) AS score, CAST(value > thr AS INT) AS label
+FROM events, th WHERE event_id % 2 = 1 ORDER BY event_id
+"""
+
+
+def q_predict_rank_events(spark, sf_dir):
+    """predict_rank() on held-out scores (pytod base.py:284-314):
+    searchsorted-left of each test score against the train scores,
+    computed as a distributed cumulative count (operators/ranking.py) —
+    the oracle's correlated count subquery is the independent check."""
+    from .detectors.predict import predict_rank
+
+    train, test = _events_split(spark, sf_dir)
+    out = predict_rank(test, train, normalized=False)
+    return out.select(
+        "event_id", F.col("rank").cast("long").alias("pred_rank")
+    ).orderBy("event_id")
+
+
+SQL_PREDICT_RANK_EVENTS = """
+WITH tr AS (SELECT value AS s FROM events WHERE event_id % 2 = 0),
+te AS (SELECT event_id, value AS s FROM events WHERE event_id % 2 = 1)
+SELECT event_id, (SELECT count(*) FROM tr WHERE tr.s < te.s)::BIGINT AS pred_rank
+FROM te ORDER BY event_id
+"""
+
+
 def q_range_join_count(spark, sf_dir):
     """neighbor_within_range (pytod intermediate_layers.py:92-103):
     per-row count of neighbors within theta=1.2 (self included)."""
@@ -740,6 +793,8 @@ QUERIES = {
     "hist_events": q_hist_events,
     "standardize_events": q_standardize_events,
     "threshold_labels_events": q_threshold_labels_events,
+    "predict_labels_events": q_predict_labels_events,
+    "predict_rank_events": q_predict_rank_events,
     "range_join_count": q_range_join_count,
     "range_join_count_lowprec": q_range_join_count_lowprec,
     "intersect_multi": q_intersect_multi,
@@ -768,6 +823,8 @@ ORACLES = {
     "hist_events": SQL_HIST_EVENTS,
     "standardize_events": SQL_STANDARDIZE_EVENTS,
     "threshold_labels_events": SQL_THRESHOLD_LABELS_EVENTS,
+    "predict_labels_events": SQL_PREDICT_LABELS_EVENTS,
+    "predict_rank_events": SQL_PREDICT_RANK_EVENTS,
     "range_join_count": SQL_RANGE_JOIN_COUNT,
     # identical-output precision optimization -> same exact oracle
     "range_join_count_lowprec": SQL_RANGE_JOIN_COUNT,

@@ -342,19 +342,31 @@ SELECT bucket, count(*) AS n_vecs FROM s GROUP BY bucket ORDER BY bucket
 SQL_RP_LSH_BUCKETS = _sql_rp_lsh_buckets()
 
 
+# LSH parameters for the catalogue near-dup operating point (cos >=
+# 0.4): chosen by the recall formula so at-threshold recall >= 0.85
+# (measured 0.83 vs the brute twin at sf0.01 — tests/test_similarity.py)
+ANN_NEARDUP_PLANES, ANN_NEARDUP_BANDS = S.choose_lsh_params(0.4)
+
+
 def q_embedding_neardup_ann(spark, sf_dir):
-    """The verified ANN near-dup path: banded RP-LSH candidates (3
-    bands x 4 sign bits, OR-amplified) + exact-cosine refine — the
-    scale-safe replacement for the brute-force q_embedding_neardup
-    (recall measured against it in tests/test_similarity.py)."""
+    """The verified ANN near-dup path: banded RP-LSH candidates
+    (choose_lsh_params picks bands/bits per threshold, OR-amplified) +
+    exact-cosine refine — the scale-safe replacement for the
+    brute-force q_embedding_neardup (recall measured against it in
+    tests/test_similarity.py)."""
     e = emb(spark, sf_dir)
-    pairs = S.ann_neardup_pairs(e, threshold=0.4, dim=64, n_planes=12, n_bands=3)
+    pairs = S.ann_neardup_pairs(
+        e, threshold=0.4, dim=64,
+        n_planes=ANN_NEARDUP_PLANES, n_bands=ANN_NEARDUP_BANDS,
+    )
     return pairs.select(
         "doc_a", "doc_b", F.round("cos", 4).alias("cos")
     ).orderBy("doc_a", "doc_b")
 
 
-def _sql_embedding_neardup_ann(n_planes: int = 12, n_bands: int = 3) -> str:
+def _sql_embedding_neardup_ann(
+    n_planes: int = ANN_NEARDUP_PLANES, n_bands: int = ANN_NEARDUP_BANDS
+) -> str:
     base_w, extra = divmod(n_planes, n_bands)
     band_rows, start = [], 0
     for i in range(n_bands):
@@ -367,7 +379,7 @@ def _sql_embedding_neardup_ann(n_planes: int = 12, n_bands: int = 3) -> str:
     bands = "\nUNION ALL\n".join(band_rows)
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-s AS (SELECT vec_id, {_duck_sig()} AS bucket FROM e),
+s AS MATERIALIZED (SELECT vec_id, {_duck_sig(n_planes)} AS bucket FROM e),
 banded AS ({bands}),
 cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
          FROM banded a JOIN banded b
@@ -412,7 +424,7 @@ def _sql_cosine_topk_ann(n_planes: int = 12, n_bands: int = 3, k: int = 3) -> st
     bands = "\nUNION ALL\n".join(band_rows)
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-s AS (SELECT vec_id, {_duck_sig()} AS bucket FROM e),
+s AS MATERIALIZED (SELECT vec_id, {_duck_sig()} AS bucket FROM e),
 banded AS ({bands}),
 cand AS (SELECT DISTINCT a.vec_id AS row_id, b.vec_id AS nbr_id
          FROM banded a JOIN banded b

@@ -15,11 +15,8 @@ reference fit (base.py:425), arriving rows only get compared to it.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from ..oracle.operators import histt
 
 
 def fit_reference_model(
@@ -29,25 +26,52 @@ def fit_reference_model(
     alpha: float = 0.1,
     contamination: float = 0.1,
 ) -> dict:
-    """Fit the HBOS histogram + threshold on a (small-aggregable)
-    reference batch; returns a plain dict (checkpointable as JSON)."""
-    vals = np.array([r[0] for r in ref.select(value_col).collect()], dtype=np.float64)
-    dens, edges = histt(vals, bins=n_bins, density=True)
-    lo, hi = float(edges[0]), float(edges[-1])
+    """Fit the HBOS histogram + threshold on a reference batch of any
+    size; returns a plain dict (checkpointable as JSON).
+
+    Fully distributed — three partial-aggregated passes (bounds,
+    histogram counts, threshold percentile), same shape as the batch
+    HBOS detector (detectors/hbos.py); the driver only ever receives
+    one stats row, <= n_bins histogram rows and one percentile row,
+    never the reference column itself. Degenerate all-equal references
+    use the single-occupied-bin width-1 convention (detectors/hbos.py),
+    not np.histogram's +-0.5 range expansion.
+    """
+    v = F.col(value_col).cast("double")
+    st = ref.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n")
+    ).collect()[0]
+    lo, hi, n = float(st["lo"]), float(st["hi"]), int(st["n"])
     w = (hi - lo) / n_bins if hi > lo else 1.0
-    scores_ref = -np.log2(dens + alpha)[
-        np.clip(np.searchsorted(edges, vals, side="left"), 1, n_bins) - 1
-    ]
-    threshold = float(np.percentile(scores_ref, 100 * (1 - contamination)))
-    return {
+    # np.histogram bin semantics: right-open bins, hi lands in the last
+    bin_ = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    counts = {
+        r["bin"]: r["cnt"]
+        for r in ref.groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    model = {
         "lo": lo,
         "hi": hi,
         "w": w,
         "n_bins": n_bins,
         "alpha": alpha,
-        "densities": [float(d) for d in dens],
-        "threshold": threshold,
+        "densities": [counts.get(b, 0) / w / n for b in range(n_bins)],
+        "threshold": 0.0,
     }
+    # threshold = percentile of the reference's own scores under the
+    # frozen model — scored with the exact same expressions the stream
+    # will use (score_stream), reduced to one row
+    thr = (
+        score_stream(ref, model, value_col)
+        .agg(F.percentile("score", F.lit(1 - contamination)).alias("t"))
+        .collect()[0]["t"]
+    )
+    model["threshold"] = float(thr)
+    return model
 
 
 def score_stream(stream: DataFrame, model: dict, value_col: str) -> DataFrame:
