@@ -61,28 +61,48 @@ def extract_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(kernel, schema=METADATA_SCHEMA)
 
 
+try:  # real codec when the environment provides one; stub otherwise
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # pragma: no cover - PIL absent in this container
+    _PIL_Image = None
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: decode an image payload to an HxWxC uint8 array.
+    """Decode an image payload to an HxWxC uint8 array.
 
-    Real decoding needs an image library absent from this container.
-    ``fake=True`` returns deterministic pseudo-pixels seeded from the
-    payload hash (for plumbing tests only).
+    Uses PIL when importable (absent from this container — then this
+    is a declared stub and raises NotImplementedError). ``fake=True``
+    bypasses the codec entirely and returns deterministic
+    pseudo-pixels seeded from the payload hash, so the surrounding
+    Spark plumbing (schema, batching, partitioning) is testable in
+    codec-less environments.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image codec library (not in this container); "
-            "pass fake=True for deterministic pseudo-pixels in tests"
+    if fake:
+        w, h, c = _fake_dims(payload)
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+        return np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, c), dtype=np.uint8
         )
-    w, h, c = _fake_dims(payload)
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    return np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    if _PIL_Image is not None:
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(payload))
+        arr = np.asarray(img)
+        if arr.ndim == 2:  # grayscale -> HxWx1
+            arr = arr[:, :, None]
+        return np.ascontiguousarray(arr, dtype=np.uint8)
+    raise NotImplementedError(
+        "image decoding requires an image codec library (not in this container); "
+        "pass fake=True for deterministic pseudo-pixels in tests"
+    )
 
 
-def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Feature-extraction plumbing over (fake-)decoded images:
-    mean/std of pixel values per channel-flattened frame. Real models
-    would swap the kernel body; the Spark-side contract (schema,
-    batching, partitioning) is what this exercises."""
+def image_features(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> DataFrame:
+    """Feature-extraction plumbing over decoded images: mean/std of
+    pixel values per channel-flattened frame. Real models would swap
+    the kernel body; the Spark-side contract (schema, batching,
+    partitioning) is what this exercises. ``fake=False`` uses the real
+    codec path of decode_image (requires PIL)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,7 +110,7 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 continue
             rows = []
             for i in range(len(pdf)):
-                img = decode_image(bytes(pdf["payload"].iloc[i]), fake=True)
+                img = decode_image(bytes(pdf["payload"].iloc[i]), fake=fake)
                 rows.append(
                     (int(pdf[id_col].iloc[i]), float(img.mean()), float(img.std()),
                      int(img.shape[1]), int(img.shape[0]))
@@ -105,12 +125,13 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def resize_images(
-    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id", fake: bool = True
 ) -> DataFrame:
-    """Resize plumbing: (fake-)decode, nearest-neighbor resample to
+    """Resize plumbing: decode, nearest-neighbor resample to
     (out_h, out_w), re-emit as bytes + typed dims. Nearest-neighbor
     index math is pure numpy (a real pipeline swaps in a codec/SIMD
-    resampler; batch shape, schema and partitioning are identical)."""
+    resampler; batch shape, schema and partitioning are identical).
+    ``fake=False`` uses the real codec path of decode_image."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -118,7 +139,7 @@ def resize_images(
                 continue
             ids, blobs, ws, hs, cs = [], [], [], [], []
             for i in range(len(pdf)):
-                img = decode_image(bytes(pdf["payload"].iloc[i]), fake=True)
+                img = decode_image(bytes(pdf["payload"].iloc[i]), fake=fake)
                 h, w, c = img.shape
                 yi = (np.arange(out_h) * h // out_h).astype(np.int64)
                 xi = (np.arange(out_w) * w // out_w).astype(np.int64)

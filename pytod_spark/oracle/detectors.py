@@ -303,3 +303,36 @@ def binom_cdf_vec(k: int, n: int, p: np.ndarray) -> np.ndarray:
     res = np.where(p <= 0.0, 1.0, res)
     res = np.where(p >= 1.0, 0.0, res)
     return np.clip(res, 0.0, 1.0)
+
+
+def copod_scores(X: np.ndarray) -> np.ndarray:
+    """COPOD score (Li et al., "COPOD: Copula-Based Outlier
+    Detection", ICDM 2020) — the copula-tail stage BASELINE.json's
+    north star names; the reference repo ships only the successor
+    ECOD (no copod.py), so this is a value-add implemented from the
+    published formulation, not a parity port.
+
+    Per feature j: left/right tail probabilities from the empirical
+    copula, with the deterministic tie convention "rank of (v, row
+    position) / n" (reduces to the ECDF pair ecdf(X) / ecdf(-X) for
+    continuous data); skewness-corrected tail picks the left tail
+    when the third central moment is negative, else the right tail.
+    Score_i = sum_j max(U_skew, (U_l + U_r) / 2) of the -log tail
+    probabilities — unlike the reference's ECOD there is no trailing
+    ``* -1``: higher score = more outlying.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    n, d = X.shape
+    r_l = np.empty((n, d), dtype=np.float64)
+    r_r = np.empty((n, d), dtype=np.float64)
+    for j in range(d):
+        order = np.argsort(X[:, j], kind="stable")
+        r_l[order, j] = np.arange(1, n + 1)
+        order = np.argsort(-X[:, j], kind="stable")
+        r_r[order, j] = np.arange(1, n + 1)
+    U_l = -np.log(r_l / n)
+    U_r = -np.log(r_r / n)
+    mu = X.mean(axis=0)
+    m3 = ((X - mu) ** 3).mean(axis=0)
+    U_skew = np.where(m3 < 0, U_l, U_r)
+    return np.maximum(U_skew, (U_l + U_r) / 2.0).sum(axis=1)

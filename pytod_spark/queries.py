@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .detectors import ABOD, ECOD, HBOS, KNN, LOF, PCA
+from .detectors import ABOD, COPOD, ECOD, HBOS, KNN, LOF, PCA
 from .operators.block_knn import knn_join, knn_scores_df
 from .operators.range_join import (
     neighbor_within_range,
@@ -141,6 +141,36 @@ o AS (SELECT l.out_pos_l AS out_pos, greatest(-ln(l.u), -ln(r.u)) AS o
 s AS (SELECT out_pos, -sum(o) AS score FROM o GROUP BY out_pos)
 SELECT b.vec_id AS row_id, round(s.score, 4) AS score
 FROM s JOIN base b ON s.out_pos = b.pos ORDER BY row_id
+"""
+
+
+def q_copod_scores(spark, sf_dir):
+    """COPOD over the 64-dim embeddings (Li et al., ICDM 2020 — the
+    copula-tail stage BASELINE.json's north star names; the reference
+    ships only the successor ECOD, so this is a value-add from the
+    published formulation, see detectors/copod.py)."""
+    s = COPOD(strategy="distributed").score_df(emb(spark, sf_dir))
+    return s.select("row_id", F.round("score", 4).alias("score")).orderBy("row_id")
+
+
+SQL_COPOD_SCORES = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n AS (SELECT count(*) AS n FROM e),
+feat AS (SELECT vec_id, g.j, emb[g.j + 1] AS v
+         FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS j) g),
+sk AS (SELECT j, skewness(v) AS sk FROM feat GROUP BY j),
+ranked AS (SELECT vec_id, j,
+    row_number() OVER (PARTITION BY j ORDER BY v ASC, vec_id ASC) AS r_l,
+    row_number() OVER (PARTITION BY j ORDER BY v DESC, vec_id ASC) AS r_r
+  FROM feat),
+u AS (SELECT r.vec_id,
+             -ln(r.r_l::DOUBLE / n.n) AS ul,
+             -ln(r.r_r::DOUBLE / n.n) AS ur,
+             s.sk
+      FROM ranked r CROSS JOIN n JOIN sk s ON r.j = s.j)
+SELECT vec_id AS row_id,
+       round(sum(greatest(CASE WHEN sk < 0 THEN ul ELSE ur END, (ul + ur) / 2)), 4) AS score
+FROM u GROUP BY vec_id ORDER BY row_id
 """
 
 
@@ -785,6 +815,7 @@ QUERIES = {
     "knn_neighbors": q_knn_neighbors,
     "lof_scores": q_lof_scores,
     "ecod_scores": q_ecod_scores,
+    "copod_scores": q_copod_scores,
     "hbos_events": q_hbos_events,
     "pca_scores": q_pca_scores,
     "pca_scores_2d": q_pca_scores_2d,
@@ -814,6 +845,7 @@ ORACLES = {
     "knn_neighbors": SQL_KNN_NEIGHBORS,
     "lof_scores": SQL_LOF_SCORES,
     "ecod_scores": SQL_ECOD_SCORES,
+    "copod_scores": SQL_COPOD_SCORES,
     "hbos_events": SQL_HBOS_EVENTS,
     "abod_scores": SQL_ABOD_SCORES,
     # pca_scores: generated below (_render_generated) — eigenvector

@@ -7,9 +7,10 @@ float tolerance')."""
 import numpy as np
 import pytest
 
-from pytod_spark.detectors import ABOD, ECOD, HBOS, KNN, LOF, PCA
+from pytod_spark.detectors import ABOD, COPOD, ECOD, HBOS, KNN, LOF, PCA
 from pytod_spark.oracle.detectors import (
     abod_scores,
+    copod_scores,
     ecod_scores,
     hbos_scores,
     knn_scores,
@@ -22,6 +23,7 @@ CASES = [
     ("knn", KNN, dict(n_neighbors=5), lambda X: knn_scores(X, 5), 1e-9),
     ("lof", LOF, dict(n_neighbors=5), lambda X: lof_scores(X, 5), 1e-9),
     ("ecod", ECOD, dict(), ecod_scores, 1e-9),
+    ("copod", COPOD, dict(), copod_scores, 1e-9),
     ("hbos", HBOS, dict(n_bins=10, alpha=0.1), lambda X: hbos_scores(X, 10, 0.1), 1e-9),
     ("pca", PCA, dict(n_components=2), lambda X: pca_scores(X, 2), 1e-6),
     ("abod", ABOD, dict(n_neighbors=5), lambda X: abod_scores(X, 5), 1e-6),

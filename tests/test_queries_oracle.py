@@ -68,7 +68,6 @@ def test_all_oracle_keys_have_queries():
     assert set(ORACLES) <= set(QUERIES)
     # rows-only queries are the documented exceptions
     rows_only = set(QUERIES) - set(ORACLES)
-    # pca_scores (64-d): value check delegated to pca_scores_2d;
     # stats_profile_sketch: HLL/KLL estimates are engine-specific,
     # tolerance-checked against the exact twin in test_round2_ops
-    assert rows_only == {"pca_scores", "stats_profile_sketch"}
+    assert rows_only == {"stats_profile_sketch"}
