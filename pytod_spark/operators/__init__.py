@@ -1,4 +1,4 @@
-from .block_knn import estimate_rows, knn_join, knn_scores_df  # noqa: F401
+from .block_knn import estimate_rows, farthest_scores_df, knn_join, knn_scores_df  # noqa: F401
 from .range_join import (  # noqa: F401
     get_indices_clear_pairs,
     neighbor_within_range,

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..oracle.operators import bottomk as _np_bottomk
 from ..oracle.operators import cdist as _np_cdist
+from ..oracle.operators import topk as _np_topk
 
 
 def _features_matrix(col: pd.Series) -> np.ndarray:
@@ -94,7 +95,40 @@ def _lowprec_bottomk(A: np.ndarray, B: np.ndarray, kk: int, p: float):
     return np.take_along_axis(dists, order, axis=1), np.take_along_axis(inds, order, axis=1)
 
 
-def _tile_kernel_factory(k: int, p: float, precision: str = "high"):
+def _lowprec_topk(A: np.ndarray, B: np.ndarray, kk: int, p: float):
+    """Filter-and-refine top-k (largest distances) mirror of
+    ``_lowprec_bottomk``.
+
+    Parity with the reference's ``topk_low_prec``
+    (basic_operators.py:140-182): fp32 pass, top-(k+1); a row is
+    ambiguous when reduced precision can no longer separate ranks
+    k-2/k-1/k; ambiguous rows re-rank exactly; distances are always
+    re-derived at fp64 for the selected pairs, so the output equals the
+    exact top-k whenever the precision bound holds.
+    """
+    D32 = _np_cdist(A.astype(np.float32), B.astype(np.float32), p=p).astype(np.float32)
+    k1 = min(kk + 1, B.shape[0])
+    vals32, inds = _np_topk(D32, k1)
+    if k1 > kk:
+        amb = (vals32[:, kk] >= vals32[:, kk - 1]) | (
+            vals32[:, kk - 2] <= vals32[:, kk - 1] if kk >= 2 else False
+        )
+        amb_rows = np.nonzero(amb)[0]
+        if amb_rows.size:
+            D64 = _np_cdist(A[amb_rows], B, p=p)
+            _, exact_inds = _np_topk(D64, kk)
+            inds[amb_rows, :kk] = exact_inds
+        inds = inds[:, :kk]
+    sel = B[inds.ravel()].reshape(inds.shape[0], kk, -1)
+    if p == 2.0:
+        dists = np.sqrt(((sel - A[:, None, :]) ** 2).sum(axis=2))
+    else:
+        dists = (np.abs(sel - A[:, None, :]) ** p).sum(axis=2) ** (1.0 / p)
+    order = np.argsort(-dists, axis=1, kind="stable")
+    return np.take_along_axis(dists, order, axis=1), np.take_along_axis(inds, order, axis=1)
+
+
+def _tile_kernel_factory(k: int, p: float, precision: str = "high", largest: bool = False):
     def tile_kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:
             return pd.DataFrame({"__id": [], "nbr_id": [], "dist": []}).astype(
@@ -103,7 +137,12 @@ def _tile_kernel_factory(k: int, p: float, precision: str = "high"):
         A = _features_matrix(left["__feat"])
         B = _features_matrix(right["__rfeat"])
         kk = min(k, B.shape[0])
-        if precision == "low":
+        if largest:
+            if precision == "low":
+                vals, inds = _lowprec_topk(A, B, kk, p)
+            else:
+                vals, inds = _np_topk(_np_cdist(A, B, p=p), kk)
+        elif precision == "low":
             vals, inds = _lowprec_bottomk(A, B, kk, p)
         else:
             vals, inds = _np_bottomk(_np_cdist(A, B, p=p), kk)
@@ -158,12 +197,17 @@ def knn_join(
     group_cols: Iterable[str] = (),
     n_rows: int | None = None,
     precision: str = "high",
+    largest: bool = False,
 ) -> DataFrame:
     """Self kNN join: for every row, its k nearest rows (self included,
     occupying the distance-0 slot, as in pytod knn.py:100-108).
 
     Returns ``group_cols + (row_id, nbr_id, dist, rn)`` with
-    ``rn = 1..k`` ordered by (dist asc, nbr_id asc).
+    ``rn = 1..k`` ordered by (dist asc, nbr_id asc) — or, with
+    ``largest=True`` (the reference's ``topk`` family,
+    basic_operators.py:54-75/:140-182), the k FARTHEST rows ordered by
+    (dist desc, nbr_id asc); each tile then keeps its per-row partial
+    top-k, same shuffle math.
     """
     group_cols = list(group_cols)
     n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
@@ -177,7 +221,7 @@ def knn_join(
     out_schema = ", ".join(
         [f"`{c}` string" for c in group_cols] + ["__id long", "nbr_id long", "dist double"]
     )
-    kernel = _tile_kernel_factory(k, p, precision)
+    kernel = _tile_kernel_factory(k, p, precision, largest)
     if group_cols:
         # group values are read from the left frame (empty-left tiles
         # emit nothing anyway)
@@ -199,9 +243,8 @@ def knn_join(
             .applyInPandas(kernel, schema=out_schema)
         )
 
-    w = Window.partitionBy(*(group_cols + ["__id"])).orderBy(
-        F.col("dist").asc(), F.col("nbr_id").asc()
-    )
+    order = F.col("dist").desc() if largest else F.col("dist").asc()
+    w = Window.partitionBy(*(group_cols + ["__id"])).orderBy(order, F.col("nbr_id").asc())
     return (
         candidates.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
@@ -235,5 +278,38 @@ def knn_scores_df(
         precision=precision,
     )
     return pairs.where(F.col("rn") == n_neighbors + 1).select(
+        *group_cols, id_col, F.col("dist").alias("score")
+    )
+
+
+def farthest_scores_df(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    block_size: int = 4096,
+    group_cols: Iterable[str] = (),
+    n_rows: int | None = None,
+    precision: str = "high",
+) -> DataFrame:
+    """k-th FARTHEST distance per row — the Spark surface of the
+    reference's ``topk``/``topk_low_prec`` distance family
+    (basic_operators.py:54-75 / :140-182), the building block of
+    farthest-point/diversity sampling. ``precision='low'`` runs the
+    fp32 filter-and-refine tile kernel whose output equals the exact
+    one whenever the precision bound holds (by the same construction
+    as the bottom-k path)."""
+    pairs = knn_join(
+        df,
+        k,
+        id_col=id_col,
+        features_col=features_col,
+        block_size=block_size,
+        group_cols=group_cols,
+        n_rows=n_rows,
+        precision=precision,
+        largest=True,
+    )
+    return pairs.where(F.col("rn") == k).select(
         *group_cols, id_col, F.col("dist").alias("score")
     )

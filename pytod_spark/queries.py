@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .detectors import ABOD, COPOD, ECOD, HBOS, KNN, LOF, PCA
-from .operators.block_knn import knn_join, knn_scores_df
+from .operators.block_knn import farthest_scores_df, knn_join, knn_scores_df
 from .operators.range_join import (
     neighbor_within_range,
     neighbor_within_range_low_prec,
@@ -69,6 +69,35 @@ def q_knn_scores_lowprec(spark, sf_dir):
     nothing."""
     s = knn_scores_df(
         emb(spark, sf_dir), n_neighbors=K, block_size=KNN_BLOCK, precision="low"
+    )
+    return s.select("row_id", F.round("score", 4).alias("score")).orderBy("row_id")
+
+
+def q_farthest_scores(spark, sf_dir):
+    """k-th FARTHEST distance per row — the reference's ``topk``
+    distance family (pytod basic_operators.py:54-75) as a Spark
+    surface; building block of farthest-point/diversity sampling."""
+    s = farthest_scores_df(emb(spark, sf_dir), k=K, block_size=KNN_BLOCK)
+    return s.select("row_id", F.round("score", 4).alias("score")).orderBy("row_id")
+
+
+SQL_FARTHEST_SCORES = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+d AS (SELECT a.vec_id AS ai, b.vec_id AS bi, list_distance(a.emb, b.emb) AS dist
+      FROM e a CROSS JOIN e b),
+r AS (SELECT ai, dist, row_number() OVER (PARTITION BY ai ORDER BY dist DESC, bi) AS rn FROM d)
+SELECT ai AS row_id, round(dist, 4) AS score FROM r WHERE rn = {K} ORDER BY row_id
+"""
+
+
+def q_farthest_scores_lowprec(spark, sf_dir):
+    """fp32 filter-and-refine top-k farthest (pytod
+    basic_operators.py:140-182 topk_low_prec): ambiguous rows re-rank
+    exactly and distances always re-derive at fp64, so by construction
+    the output equals q_farthest_scores — it shares that exact oracle;
+    the oracle IS the claim that low precision changed nothing."""
+    s = farthest_scores_df(
+        emb(spark, sf_dir), k=K, block_size=KNN_BLOCK, precision="low"
     )
     return s.select("row_id", F.round("score", 4).alias("score")).orderBy("row_id")
 
@@ -812,6 +841,8 @@ def _merge_extra():
 QUERIES = {
     "knn_scores": q_knn_scores,
     "knn_scores_lowprec": q_knn_scores_lowprec,
+    "farthest_scores": q_farthest_scores,
+    "farthest_scores_lowprec": q_farthest_scores_lowprec,
     "knn_neighbors": q_knn_neighbors,
     "lof_scores": q_lof_scores,
     "ecod_scores": q_ecod_scores,
@@ -842,6 +873,8 @@ ORACLES = {
     "knn_scores": SQL_KNN_SCORES,
     # identical-output precision optimization -> same exact oracle
     "knn_scores_lowprec": SQL_KNN_SCORES,
+    "farthest_scores": SQL_FARTHEST_SCORES,
+    "farthest_scores_lowprec": SQL_FARTHEST_SCORES,
     "knn_neighbors": SQL_KNN_NEIGHBORS,
     "lof_scores": SQL_LOF_SCORES,
     "ecod_scores": SQL_ECOD_SCORES,

@@ -109,3 +109,25 @@ def test_low_precision_knn_matches_exact(spark, f1_df, f1_fixture):
     got = _collect_scores(det.score_df(f1_df))
     actual = np.array([got[i] for i in range(len(expected))])
     np.testing.assert_allclose(actual, expected, rtol=1e-12, atol=1e-12)
+
+
+def test_farthest_scores_exact_and_lowprec(spark, f1_df, f1_fixture):
+    """Tiled top-k FARTHEST distances (the reference's topk /
+    topk_low_prec family, basic_operators.py:54-75 / :140-182): tiny
+    blocks force the multi-tile merge; the fp32 filter-and-refine path
+    must reproduce the fp64 result exactly."""
+    from pytod_spark.operators.block_knn import farthest_scores_df
+    from pytod_spark.oracle.operators import cdist, topk
+
+    X, _ = f1_fixture
+    k = 5
+    vals, _ = topk(cdist(X, X), k)
+    expected = vals[:, k - 1]
+    exact = _collect_scores(farthest_scores_df(f1_df, k=k, block_size=64))
+    actual = np.array([exact[i] for i in range(len(expected))])
+    np.testing.assert_allclose(actual, expected, rtol=1e-12, atol=1e-12)
+    low = _collect_scores(
+        farthest_scores_df(f1_df, k=k, block_size=64, precision="low")
+    )
+    actual_low = np.array([low[i] for i in range(len(expected))])
+    np.testing.assert_allclose(actual_low, expected, rtol=1e-12, atol=1e-12)
