@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "embedding_neardup",
     "embedding_neardup_ann",
+    "cosine_topk_ivf",
     "drift_verdicts",
     "multimodal_metadata",
 ]

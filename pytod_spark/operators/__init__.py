@@ -11,6 +11,8 @@ from .similarity import (  # noqa: F401
     ann_neardup_pairs,
     cosine_pairs,
     cosine_topk_join,
+    ivf_fit,
+    ivf_topk,
     rp_lsh_buckets,
     rp_lsh_candidate_pairs,
 )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .block_knn import estimate_rows, tile_sides
+from .cache import track
 
 
 def _norm_rows(M: np.ndarray) -> np.ndarray:
@@ -345,6 +346,180 @@ def ann_cosine_topk(
             F.col("doc_b").alias("nbr_id"),
             dot.alias("cos"),
         )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def _unit_col(features_col: str):
+    feats = F.col(features_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(feats, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(feats, lambda x: x / F.when(norm == 0, F.lit(1.0)).otherwise(norm))
+
+
+def _unit_frame(df: DataFrame, id_col: str, features_col: str) -> DataFrame:
+    """Persisted (id, unit-vector) frame — a materialization barrier:
+    the IVF consumers touch ``__u`` from kernels, probe sorts and both
+    sides of the refine join, and without the barrier Catalyst inlines
+    the O(d) normalize transform into every consumer expression (the
+    same inlining pathology as the shingles fix)."""
+    return track(
+        df.select(F.col(id_col).alias("__id"), _unit_col(features_col).alias("__u"))
+        .persist()
+    )
+
+
+def _assign_probes(u: DataFrame, centroids: np.ndarray, n_probe: int) -> DataFrame:
+    """(id, probes) per vector — ``probes[0]`` is the assigned cell.
+
+    One Arrow-batched vectorized kernel (X @ C.T argmax / stable
+    argsort): with C centroids of d dims the inline-expression
+    alternative is C*d codegen terms PER ITERATION, whose Janino
+    compile time dominates at small scale and whose method size breaks
+    whole-stage codegen at large C*d — the batched matmul is the same
+    kernel shape the tile joins use. Tie order: similarity desc, cell
+    id asc (numpy stable argsort on -S), matching the oracle's ORDER
+    BY sim DESC, cid ASC."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    npb = min(n_probe, C.shape[0])
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            U = np.stack(pdf["__u"].to_numpy()).astype(np.float64, copy=False)
+            order = np.argsort(-(U @ C.T), axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "probes": list(order.astype(np.int32))}
+            )
+
+    return u.mapInPandas(kernel, schema="__id long, probes array<int>")
+
+
+def ivf_fit(
+    df: DataFrame,
+    n_clusters: int = 8,
+    n_iters: int = 3,
+    id_col: str = "row_id",
+    features_col: str = "features",
+) -> np.ndarray:
+    """Distributed spherical-Lloyd fit of the IVF coarse quantizer
+    (mirrors oracle.operators.ivf_centroids, which documents the
+    deterministic conventions). 100-TB shape: per iteration ONE job —
+    an Arrow kernel computes per-partition partial sums (assign by
+    argmax, accumulate sum/count per cell: C x (d+1) doubles per
+    partition, the classic k-means map-side combine), a groupBy(cell)
+    merges the partials, and only the (n_clusters x d) model ever
+    reaches the driver. Init = unit rows of the n_clusters smallest
+    ids."""
+    u = _unit_frame(df, id_col, features_col)
+    first = u.orderBy("__id").limit(n_clusters).collect()
+    C = np.array([r["__u"] for r in sorted(first, key=lambda r: r["__id"])])
+    dim = C.shape[1]
+
+    for _ in range(n_iters):
+        Cb = np.ascontiguousarray(C)
+
+        def kernel(it, Cb=Cb):
+            sums = np.zeros_like(Cb)
+            counts = np.zeros(len(Cb), dtype=np.int64)
+            seen = False
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                seen = True
+                U = np.stack(pdf["__u"].to_numpy()).astype(np.float64, copy=False)
+                a = np.argmax(U @ Cb.T, axis=1)  # ties -> lowest cell
+                np.add.at(sums, a, U)
+                counts += np.bincount(a, minlength=len(Cb))
+            if seen:
+                yield pd.DataFrame(
+                    {"cell": np.arange(len(Cb), dtype=np.int32),
+                     "n": counts, "s": list(sums)}
+                )
+
+        partials = u.mapInPandas(kernel, schema="cell int, n long, s array<double>")
+        agg = (
+            partials.groupBy("cell")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(F.element_at("s", j + 1)).alias(f"s{j}") for j in range(dim)],
+            )
+            .collect()
+        )
+        for r in agg:
+            if r["n"]:
+                m = np.array([r[f"s{j}"] for j in range(dim)]) / r["n"]
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[r["cell"]] = m / nm
+    return C
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    n_probe: int = 3,
+    n_assign: int = 3,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: coarse-quantize every vector into
+    its ``n_assign`` nearest cells (multi-assignment replication — the
+    standard recall lever when cluster structure is weak), probe each
+    query's ``n_probe`` nearest cells, exact-cosine refine inside the
+    probed cells.
+
+    The scale path beside the RP-LSH variant: candidates come from an
+    EQUI-JOIN on the cell id (never all-pairs); assignment and probe
+    lists come from one Arrow-batched matmul kernel (see
+    ``_assign_probes`` for the tie convention shared with the oracle).
+    Recall < 1 by IVF design (vectors whose true neighbors live
+    outside the probed cells); measured vs the brute twin in
+    tests/test_similarity.py. Caveat recorded there: on near-uniform
+    random directions (this repo's synthetic embeddings) recall scales
+    ~linearly with the candidate fraction n_assign*n_probe/C — IVF's
+    advantage needs real cluster structure, which production
+    embeddings have and random test vectors don't."""
+    if centroids is None:
+        centroids = ivf_fit(df, n_clusters, n_iters, id_col, features_col)
+    u = _unit_frame(df, id_col, features_col)
+    ap = track(
+        _assign_probes(u, centroids, max(n_probe, n_assign)).persist()
+    )
+
+    assigned = ap.select(
+        F.col("__id").alias("nbr_id"),
+        F.explode(F.slice("probes", 1, n_assign)).alias("__cell"),
+    )
+    probes = ap.select(
+        F.col("__id").alias(id_col),
+        F.explode(F.slice("probes", 1, n_probe)).alias("__cell"),
+    )
+    # multi-assignment can produce the same (query, neighbor) pair in
+    # several cells — dedupe BEFORE the refine so the window sees each
+    # candidate once
+    cand = (
+        probes.join(assigned, on="__cell")
+        .where(F.col(id_col) != F.col("nbr_id"))
+        .select(id_col, "nbr_id")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(u.select(F.col("__id").alias(id_col), F.col("__u").alias("u_a")), id_col)
+        .join(u.select(F.col("__id").alias("nbr_id"), F.col("__u").alias("u_b")), "nbr_id")
+        .select(id_col, "nbr_id", dot.alias("cos"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

@@ -249,3 +249,34 @@ def bottomk_low_prec(
             bk_indices, order, axis=1
         )
     return vals, bk_indices
+
+
+def ivf_centroids(
+    X: np.ndarray, n_clusters: int = 8, n_iters: int = 3
+) -> np.ndarray:
+    """Deterministic spherical-Lloyd IVF coarse quantizer (the classic
+    inverted-file ANN index of Sivic & Zisserman '03 / FAISS IVF — a
+    value-add beyond the reference, which ships no ANN index).
+
+    Fully deterministic so both engines (Spark distributed fit, DuckDB
+    generated-SQL oracle) converge on the same model: rows are taken
+    in id order, init = unit-normalized first ``n_clusters`` rows,
+    assignment = argmax cosine with ties to the LOWEST centroid id,
+    update = renormalized mean of assigned unit vectors (an empty
+    cluster keeps its previous centroid). Returns (n_clusters, d).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    U = X / norms
+    C = U[:n_clusters].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(U @ C.T, axis=1)  # ties -> lowest index
+        for j in range(n_clusters):
+            members = U[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[j] = m / nm
+    return C

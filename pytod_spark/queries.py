@@ -907,7 +907,16 @@ ORACLES = {
 # of the input table). Rendered at import for the driver's comparison
 # scale; scripts/check_queries.py re-renders for other sf_dirs.
 DRIVER_SF_DIR = "/root/testdata/sf0.01"
-GENERATED_ORACLES = {"pca_scores": sql_pca_scores}
+def _sql_cosine_topk_ivf(sf_dir: str):
+    from .queries_text import sql_cosine_topk_ivf
+
+    return sql_cosine_topk_ivf(sf_dir)
+
+
+GENERATED_ORACLES = {
+    "pca_scores": sql_pca_scores,
+    "cosine_topk_ivf": _sql_cosine_topk_ivf,
+}
 
 
 def render_generated_oracles(sf_dir: str = DRIVER_SF_DIR) -> None:

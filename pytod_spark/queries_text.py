@@ -447,6 +447,85 @@ ORDER BY row_id, rn
 SQL_COSINE_TOPK_ANN = _sql_cosine_topk_ann()
 
 
+# IVF catalogue operating point: 16 cells, 3 Lloyd iterations,
+# multi-assign 3, probe 3 — recall 0.84 vs the brute twin at sf0.01
+# (candidate fraction ~0.56; near-uniform synthetic embeddings make
+# recall ~linear in that fraction, see ivf_topk's docstring caveat)
+IVF_CLUSTERS, IVF_ITERS, IVF_ASSIGN, IVF_PROBE, IVF_K = 16, 3, 3, 3, 3
+
+
+def q_cosine_topk_ivf(spark, sf_dir):
+    """IVF approximate cosine top-k — the inverted-file ANN scale path
+    beside the RP-LSH variant: a distributed spherical-Lloyd fit
+    (only the C x d model reaches the driver), coarse-quantize every
+    vector to its nearest cell, probe each query's n_probe nearest
+    cells, exact-cosine refine via an equi-join on the cell id (never
+    all-pairs). The generated oracle refits the same deterministic
+    model in numpy and inlines the centroids as literals (same pattern
+    as the 64-d PCA eigenvectors), so the comparison checks fit +
+    assignment + probe + refine end-to-end. Recall vs the brute twin
+    is measured in tests/test_similarity.py."""
+    e = emb(spark, sf_dir)
+    out = S.ivf_topk(
+        e, k=IVF_K, n_clusters=IVF_CLUSTERS, n_iters=IVF_ITERS,
+        n_probe=IVF_PROBE, n_assign=IVF_ASSIGN,
+    )
+    return out.select(
+        "row_id", "rn", "nbr_id", F.round("cos", 4).alias("cos")
+    ).orderBy("row_id", "rn")
+
+
+def sql_cosine_topk_ivf(sf_dir: str) -> str | None:
+    """Generated DuckDB oracle: centroids from the independent numpy
+    fit (oracle.operators.ivf_centroids) inlined as list literals.
+    Returns None when the parquet is unreadable (rows-only degrade)."""
+    import numpy as np
+
+    try:
+        import pyarrow.parquet as pq
+
+        tb = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = np.asarray(tb.column("vec_id").to_pylist())
+        X = np.asarray(tb.column("embedding").to_pylist(), dtype=np.float64)
+        X = X[np.argsort(ids)]
+    except Exception:
+        return None
+    from .oracle.operators import ivf_centroids
+
+    C = ivf_centroids(X, IVF_CLUSTERS, IVF_ITERS)
+    rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(v)) for v in C[i]) + "])"
+        for i in range(C.shape[0])
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+u AS (SELECT vec_id,
+        list_transform(emb, x -> x / sqrt(list_sum(list_transform(emb, y -> y * y)))) AS u
+      FROM e),
+c AS (SELECT cid, cv::DOUBLE[] AS cv FROM (VALUES {rows}) t(cid, cv)),
+sims AS (SELECT vec_id, cid,
+           list_sum(list_transform(list_zip(u.u, c.cv), q -> q[1] * q[2])) AS sim
+         FROM u CROSS JOIN c),
+ranked AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS crn
+           FROM sims),
+assign AS (SELECT vec_id AS nbr_id, cid FROM ranked WHERE crn <= {IVF_ASSIGN}),
+probes AS (SELECT vec_id, cid FROM ranked WHERE crn <= {IVF_PROBE}),
+cand AS (SELECT DISTINCT p.vec_id AS row_id, a.nbr_id
+         FROM probes p JOIN assign a ON p.cid = a.cid AND p.vec_id <> a.nbr_id),
+p AS (SELECT c.row_id, c.nbr_id,
+        list_sum(list_transform(list_zip(ua.u, ub.u), q -> q[1] * q[2])) AS cos
+      FROM cand c JOIN u ua ON c.row_id = ua.vec_id JOIN u ub ON c.nbr_id = ub.vec_id),
+r AS (SELECT row_id, nbr_id, cos,
+        row_number() OVER (PARTITION BY row_id ORDER BY cos DESC, nbr_id ASC) AS rn
+      FROM p)
+SELECT row_id, rn, nbr_id, round(cos, 4) AS cos FROM r WHERE rn <= {IVF_K}
+ORDER BY row_id, rn
+"""
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -483,6 +562,7 @@ TEXT_QUERIES = {
     "rp_lsh_buckets": q_rp_lsh_buckets,
     "embedding_neardup_ann": q_embedding_neardup_ann,
     "cosine_topk_ann": q_cosine_topk_ann,
+    "cosine_topk_ivf": q_cosine_topk_ivf,
     "multimodal_metadata": q_multimodal_metadata,
 }
 

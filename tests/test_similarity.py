@@ -54,3 +54,46 @@ def test_ann_neardup_recall_at_catalogue_threshold(spark):
     assert ann <= brute  # exact refine: no false positives
     recall = len(ann & brute) / len(brute)
     assert recall >= 0.8, f"recall {recall:.3f} of {len(brute)} true pairs"
+
+
+def test_ivf_fit_matches_numpy_oracle(spark):
+    """Distributed Lloyd fit == deterministic numpy fit (to float
+    noise): init order, tie convention and empty-cell handling agree."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pytod_spark.oracle.operators import ivf_centroids
+    from pytod_spark.queries import emb
+
+    sf = "/root/testdata/sf0.01"
+    tb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tb.column("vec_id").to_pylist())
+    X = np.asarray(tb.column("embedding").to_pylist(), dtype=np.float64)
+    expected = ivf_centroids(X[np.argsort(ids)], 8, 3)
+    got = S.ivf_fit(emb(spark, sf), 8, 3)
+    np.testing.assert_allclose(got, expected, rtol=0, atol=1e-12)
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF top-k at the catalogue operating point (16 cells,
+    multi-assign 3, probe 3 — measured 0.84 on the near-uniform
+    synthetic embeddings, where recall is ~linear in the candidate
+    fraction) must recall >= 0.8 of the brute top-3 pairs, and
+    every returned neighbor's cosine must equal the exact one (the
+    refine is exact — only the candidate set is approximate)."""
+    from pytod_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["row_id"], r["nbr_id"]): r["cos"]
+        for r in QUERIES["cosine_topk"](spark, sf).collect()
+    }
+    ivf = {
+        (r["row_id"], r["nbr_id"]): r["cos"]
+        for r in QUERIES["cosine_topk_ivf"](spark, sf).collect()
+    }
+    hits = set(ivf) & set(brute)
+    recall = len(hits) / len(brute)
+    assert recall >= 0.8, f"recall {recall:.3f} of {len(brute)} true pairs"
+    for pair in hits:
+        assert abs(ivf[pair] - brute[pair]) < 1e-9
