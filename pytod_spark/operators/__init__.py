@@ -1,4 +1,11 @@
 from .block_knn import estimate_rows, farthest_scores_df, knn_join, knn_scores_df  # noqa: F401
+from .dedup import (  # noqa: F401
+    connected_components,
+    exact_duplicates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from .range_join import (  # noqa: F401
     get_indices_clear_pairs,
     neighbor_within_range,

@@ -256,3 +256,61 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select(*group_cols, "doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster resolution: (node, cluster_id) for every node
+    in the candidate-pair graph, cluster_id = smallest node id in the
+    connected component — the step a dedup pipeline runs AFTER
+    MinHash/SimHash pair generation to group duplicates and pick one
+    canonical document per cluster.
+
+    Algorithm: hash-to-min label propagation — per round, every node
+    takes the min label among itself and its neighbors; one
+    (shuffle-keyed) join + partial-aggregating groupBy per round,
+    converging in O(graph diameter) rounds. Near-dup graphs are
+    overwhelmingly tiny star/clique clusters (diameter 2-3), which is
+    the documented contract here; for adversarial long-chain graphs
+    swap in large-star/small-star (Kiveris et al., SoCC'14) — the
+    same per-round plan shape in O(log n) rounds. Convergence is
+    detected with a take(1) probe on changed labels; each round's
+    labels are persisted and the previous round's released.
+    """
+    from pyspark import StorageLevel
+
+    from .cache import track
+
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = track(
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("lbl")
+    )
+    labels = track(labels.persist(StorageLevel.MEMORY_AND_DISK))
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+        new_labels = track(new_labels.persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "__old"), "node")
+            .where(F.col("lbl") < F.col("__old"))
+            .take(1)
+        )
+        labels.unpersist()
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))

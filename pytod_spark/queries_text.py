@@ -237,6 +237,43 @@ FROM v WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
 SQL_MINHASH_PAIRS = _sql_minhash_pairs()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution over the MinHash near-dup pairs:
+    connected components (hash-to-min label propagation,
+    operators/dedup.py connected_components), cluster_id = smallest
+    doc_id in the component — the 'group duplicates, keep one
+    canonical doc' step of a dedup pipeline."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(d, threshold=0.5)
+    cc = D.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
+def _sql_dedup_clusters() -> str:
+    """Transitive closure via a recursive CTE over the same MinHash
+    pair SQL — exact min-reachable-id per node (the graph at oracle
+    scale is tiny)."""
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT doc_a, doc_b FROM ({_sql_minhash_pairs()})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM p
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
+
+
 def q_simhash_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=2, group_cols=["lang"]).orderBy("doc_a", "doc_b")
@@ -556,6 +593,7 @@ TEXT_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "minhash_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "cosine_topk": q_cosine_topk,
@@ -574,6 +612,7 @@ TEXT_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "cosine_topk": SQL_COSINE_TOPK,

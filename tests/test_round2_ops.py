@@ -292,3 +292,18 @@ def test_multimodal_resize_and_frames(spark, docs):
     assert fr.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True).equals(
         fr2.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
     )
+
+
+def test_connected_components_chain_clique_pair(spark):
+    """Hash-to-min CC: a 4-chain (worst diameter), a triangle, an
+    isolated pair — every node labeled with its component's min id."""
+    from pytod_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # pair
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
