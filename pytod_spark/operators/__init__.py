@@ -13,6 +13,7 @@ from .range_join import (  # noqa: F401
     neighbor_within_range_low_prec_float,
 )
 from .ranking import bucketed_cumsums, bucketed_ranks, with_group_size  # noqa: F401
+from .sampling import hash_sample, sample_predicate, stratified_sample  # noqa: F401
 from .similarity import (  # noqa: F401
     ann_cosine_topk,
     ann_neardup_pairs,

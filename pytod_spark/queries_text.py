@@ -274,6 +274,64 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY do
 SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
 
 
+def q_sample_docs(spark, sf_dir):
+    """Deterministic 10% train-split sample by md5(doc_id || salt)
+    prefix (operators/sampling.py): a pure map-side filter with no
+    RNG state, reproducible on any cluster size; the oracle reproduces
+    it bit-for-bit because both engines compute the identical md5."""
+    from .operators.sampling import hash_sample
+
+    d = load(spark, sf_dir, "documents")
+    return hash_sample(d, 0.1, "doc_id", salt="train").select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+def _sql_sample_docs() -> str:
+    from .operators.sampling import _threshold_hex
+
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(doc_id::VARCHAR || 'train'), 1, 8) < '{_threshold_hex(0.1)}'
+ORDER BY doc_id
+"""
+
+
+SQL_SAMPLE_DOCS = _sql_sample_docs()
+
+# per-language sampling rates: up-weight the low-resource tail —
+# the standard training-mix rebalance
+STRATA_FRACTIONS = {"en": 0.05, "zh": 0.2, "es": 0.3, "de": 0.5, "fr": 0.8}
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Per-language deterministic sample (broadcast threshold table +
+    map-side md5-prefix filter), the training-mix rebalance step."""
+    from .operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, STRATA_FRACTIONS, "doc_id", "lang", salt="mix"
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+def _sql_stratified_sample_docs() -> str:
+    from .operators.sampling import _threshold_hex
+
+    rows = ", ".join(
+        f"('{k}', '{_threshold_hex(v)}')" for k, v in STRATA_FRACTIONS.items()
+    )
+    return f"""
+WITH thr AS (SELECT * FROM (VALUES {rows}) t(lang, h))
+SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 8) < thr.h
+ORDER BY d.doc_id
+"""
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = _sql_stratified_sample_docs()
+
+
 def q_simhash_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=2, group_cols=["lang"]).orderBy("doc_a", "doc_b")
@@ -594,6 +652,8 @@ TEXT_QUERIES = {
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "sample_docs": q_sample_docs,
+    "stratified_sample_docs": q_stratified_sample_docs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "cosine_topk": q_cosine_topk,
@@ -613,6 +673,8 @@ TEXT_ORACLES = {
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "sample_docs": SQL_SAMPLE_DOCS,
+    "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "cosine_topk": SQL_COSINE_TOPK,
