@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "embedding_neardup_ann",
     "cosine_topk_ivf",
+    "training_mix_report",
     "drift_verdicts",
     "multimodal_metadata",
 ]

@@ -332,6 +332,77 @@ ORDER BY d.doc_id
 SQL_STRATIFIED_SAMPLE_DOCS = _sql_stratified_sample_docs()
 
 
+def q_training_mix_report(spark, sf_dir):
+    """End-to-end training-data pipeline composition — the flagship
+    'what this engine is for' query: exact dedup (keep the min-doc_id
+    copy per sha256), quality filter (composite score >= 0.5),
+    deterministic 50% sample, then the per-language mix report
+    (docs kept, token/BPE-token totals, mean quality). All stages are
+    single-pass column expressions plus ONE dedup shuffle and ONE
+    final aggregation — the 100-TB plan is scan -> hash-agg ->
+    broadcast-semi-join -> filter -> partial agg."""
+    from .operators.sampling import sample_predicate
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    keepers = (
+        d.groupBy(F.sha2(t, 256).alias("__sha"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = (
+        d.join(keepers, "doc_id", "left_semi")
+        .withColumn("__q", T.quality_score(t))
+        .where(F.col("__q") >= 0.5)
+        .where(sample_predicate(F.col("doc_id"), 0.5, salt="mix-v1"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count(t)).alias("total_tokens"),
+            F.sum(T.bpe_token_count(t)).alias("total_bpe_tokens"),
+            F.round(F.avg("__q"), 6).alias("mean_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_training_mix_report() -> str:
+    from .operators.sampling import _threshold_hex
+
+    return f"""
+WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+feats AS (
+  SELECT d.doc_id, d.lang, d.text, {_DUCK_TOKS} AS toks,
+         len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+         (length(d.text) - length(regexp_replace(d.text, '[.,;:!?''"()\\[\\]{{}}\\-]', '', 'g')))::DOUBLE
+             / length(d.text) AS pr
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+),
+q AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens, n_bpe,
+         round(0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.3 * (1.0 - least(pr * 5, 1.0))
+             + 0.3 * least(list_sum(list_transform(toks, x -> CASE WHEN x IN
+                 ('the','a','and','of','to','in','is','on','for','with')
+                 THEN 1 ELSE 0 END))::DOUBLE / len(toks) * 4, 1.0), 6) AS quality
+  FROM feats
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(n_bpe)::BIGINT AS total_bpe_tokens,
+       round(avg(quality), 6) AS mean_quality
+FROM q
+WHERE quality >= 0.5
+  AND substr(md5(doc_id::VARCHAR || 'mix-v1'), 1, 8) < '{_threshold_hex(0.5)}'
+GROUP BY lang ORDER BY lang
+"""
+
+
+SQL_TRAINING_MIX_REPORT = _sql_training_mix_report()
+
+
 def q_simhash_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=2, group_cols=["lang"]).orderBy("doc_a", "doc_b")
@@ -654,6 +725,7 @@ TEXT_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "sample_docs": q_sample_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
+    "training_mix_report": q_training_mix_report,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "cosine_topk": q_cosine_topk,
@@ -675,6 +747,7 @@ TEXT_ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "sample_docs": SQL_SAMPLE_DOCS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
+    "training_mix_report": SQL_TRAINING_MIX_REPORT,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "cosine_topk": SQL_COSINE_TOPK,
