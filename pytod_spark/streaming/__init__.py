@@ -1,2 +1,3 @@
 from .cusum import cusum_drift_stream  # noqa: F401
+from .dedup import streaming_exact_dedup, streaming_seen_filter  # noqa: F401
 from .drift_monitor import drift_alerts, fit_reference_model, score_stream  # noqa: F401

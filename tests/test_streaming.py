@@ -127,3 +127,70 @@ def test_cusum_stateful_stream(spark, ref_df, tmp_path):
     assert res["b"]["alert"] == 1 and res["b"]["cusum"] > 5.0
     assert res["a"]["alert"] == 0
     assert res["a"]["n_seen"] == 40 and res["b"]["n_seen"] == 40
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Exactly one representative per content hash survives (which
+    copy is unordered within a micro-batch); in-watermark
+    re-deliveries are dropped; distinct texts all pass."""
+    import datetime as dt
+
+    from pytod_spark.streaming import streaming_exact_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(50):
+        rows.append((t0 + dt.timedelta(seconds=i), i, f"doc body {i % 20}"))
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(rows, "ts timestamp, doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, doc_id long, text string").parquet(src)
+    out = streaming_exact_dedup(stream, ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_t").collect()
+    # 20 distinct bodies -> exactly 20 survivors, one per body
+    assert len(got) == 20
+    assert sorted(r["text"] for r in got) == sorted(f"doc body {i}" for i in range(20))
+    # every survivor's doc_id is congruent to its body index mod 20
+    for r in got:
+        assert r["text"] == f"doc body {r['doc_id'] % 20}"
+
+
+def test_streaming_seen_filter(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pytod_spark.streaming import streaming_seen_filter
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [(t0, i, f"body {i}") for i in range(10)]
+    src = str(tmp_path / "seen_src")
+    spark.createDataFrame(rows, "ts timestamp, doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    # catalog already contains bodies 0-4
+    seen = spark.createDataFrame([(f"body {i}",) for i in range(5)], "text string").select(
+        F.sha2("text", 256).alias("text_sha")
+    )
+    stream = spark.readStream.schema("ts timestamp, doc_id long, text string").parquet(src)
+    out = streaming_seen_filter(stream, seen)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seen_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.sql("select * from seen_t").collect())
+    assert got == [5, 6, 7, 8, 9]
