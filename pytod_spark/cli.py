@@ -16,6 +16,8 @@ import argparse
 import json
 import sys
 
+from pyspark.sql.functions import col as F_col
+
 from .datagen import generate_repo_table, repo_commits_dim
 from .deploy import ensure_shipped
 from .session import get_spark
@@ -36,10 +38,24 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--input", required=True, help="parquet dir or table:/iceberg:<name> of (repo,path,commit,lang,content)")
     v.add_argument("--parent", default=None, help="parquet dir of the (repo,commit) dimension")
     v.add_argument("--run-dir", required=True)
-    v.add_argument("--detector", default="hbos", choices=["hbos", "knn", "lof", "ecod", "pca", "abod"])
+    v.add_argument("--detector", default="hbos", choices=["hbos", "knn", "lof", "ecod", "copod", "pca", "abod"])
     v.add_argument("--contamination", type=float, default=0.1)
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--master", default=None)
+
+    d = sub.add_parser("dedup", help="exact + MinHash near-dup clusters over a documents table")
+    d.add_argument("--input", required=True, help="parquet dir or table:/iceberg:<name> with (doc_id, text)")
+    d.add_argument("--out", required=True, help="output parquet dir for (doc_id, cluster_id)")
+    d.add_argument("--threshold", type=float, default=0.5, help="Jaccard threshold")
+    d.add_argument("--master", default=None)
+
+    s = sub.add_parser("sample", help="deterministic hash sample of a table")
+    s.add_argument("--input", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--fraction", type=float, required=True)
+    s.add_argument("--key-col", default="doc_id")
+    s.add_argument("--salt", default="")
+    s.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
     spark = get_spark("pytod_spark-cli", master=getattr(args, "master", None))
@@ -56,6 +72,28 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from .sources import load_table
+
+    if args.cmd == "dedup":
+        from .operators.dedup import connected_components, minhash_dedup_pairs
+
+        docs = load_table(spark, args.input)
+        pairs = minhash_dedup_pairs(docs, threshold=args.threshold)
+        cc = connected_components(pairs).select(
+            F_col("node").alias("doc_id"), "cluster_id"
+        )
+        cc.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"clustered_docs": spark.read.parquet(args.out).count()}))
+        return 0
+
+    if args.cmd == "sample":
+        from .operators.sampling import hash_sample
+
+        df = load_table(spark, args.input)
+        hash_sample(df, args.fraction, args.key_col, args.salt).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(json.dumps({"rows_kept": spark.read.parquet(args.out).count()}))
+        return 0
 
     df = load_table(spark, args.input)
     parent = load_table(spark, args.parent) if args.parent else None

@@ -7,4 +7,12 @@ from .hbos import HBOS  # noqa: F401
 from .pca import PCA  # noqa: F401
 from .abod import ABOD  # noqa: F401
 
-ALL_DETECTORS = {"knn": KNN, "lof": LOF, "ecod": ECOD, "hbos": HBOS, "pca": PCA, "abod": ABOD}
+ALL_DETECTORS = {
+    "knn": KNN,
+    "lof": LOF,
+    "ecod": ECOD,
+    "copod": COPOD,
+    "hbos": HBOS,
+    "pca": PCA,
+    "abod": ABOD,
+}
