@@ -66,9 +66,8 @@ def stopword_ratio(col: Column, lang: str = "en") -> Column:
     return stopword_hits(col, lang).cast("double") / token_count(col)
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined), the MinHash/LSH
-    input unit. Documents with < n tokens yield an empty array.
+def word_grams(col: Column, n: int) -> Column:
+    """Raw (non-distinct, order-preserving) word n-gram array.
 
     Built by zip_with-ing the token array against its own left-shifted
     slices (gram_i = t[i] + ' ' + t[i+1] + ... ), NOT by indexing with
@@ -89,9 +88,56 @@ def shingles(col: Column, n: int = 3) -> Column:
             lambda x, y: F.concat_ws(" ", x, y),
         )
     g = F.slice(g, 1, F.greatest(F.size(t) - (n - 1), F.lit(0)))
-    return F.when(F.size(t) >= n, F.array_distinct(g)).otherwise(
-        F.array().cast("array<string>")
+    return F.when(F.size(t) >= n, g).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined), the MinHash/LSH
+    input unit. Documents with < n tokens yield an empty array."""
+    return F.array_distinct(word_grams(col, n))
+
+
+def dup_token_fraction(col: Column) -> Column:
+    """Gopher-style repetition signal: fraction of tokens that are
+    repeats of an earlier token, 1 - |distinct|/|tokens|. Pure
+    map-side array arithmetic — no shuffle, scales linearly."""
+    t = tokens(col)
+    return F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def dup_gram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats (Gopher's duplicate
+    n-gram fraction). 0.0 for documents with < n tokens."""
+    g = word_grams(col, n)
+    return F.when(
+        F.size(g) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+    ).otherwise(F.lit(0.0))
+
+
+def top_token_fraction(col: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token
+    (Gopher's top-1-gram fraction). Computed WITHOUT a shuffle: the
+    mode count of a sorted array equals its longest equal-run, found
+    by one aggregate() pass with a (prev, run, best) accumulator —
+    the whole signal stays map-side in whole-stage codegen, vs the
+    explode -> groupBy(doc, tok) -> groupBy(doc) two-shuffle plan."""
+    t = tokens(col)
+    st = F.array_sort(t)
+    run = lambda a, x: F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))  # noqa: E731
+    best = F.aggregate(
+        st,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            run(a, x).alias("run"),
+            F.greatest(a.best, run(a, x)).alias("best"),
+        ),
+        lambda a: a.best,
     )
+    return best.cast("double") / F.size(t)
 
 
 def md5_hash60(col: Column) -> Column:

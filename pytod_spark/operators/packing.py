@@ -1,0 +1,71 @@
+"""Token-budget shard packing: assign an ordered corpus to
+fixed-token-budget training shards (contiguous fill).
+
+The training-data step after dedup/filter/sample: split the corpus,
+in a deterministic document order, into shards of ~``budget`` tokens
+each so downstream loaders get balanced files. shard_id =
+floor(tokens_before_this_doc / budget) — "contiguous fill" packing,
+deterministic and expressible in plain SQL (the oracle mirrors it
+with one window cumsum).
+
+100-TB shape: a global ordered cumulative sum is the textbook
+one-reducer trap (``Window.orderBy(...)`` with no partition funnels
+the corpus through one task). This module reuses the bucketed
+two-pass machinery from operators/ranking.py instead: range-bucket
+the order key by approximate quantiles, per-bucket token totals
+(B tiny rows) give each bucket's global offset through a broadcast
+self-join, and the only full-data window is partitioned by bucket —
+no task ever sorts more than ~n/B rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ranking import _cum_offsets, _with_bucket
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out: str = "cum",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Inclusive cumulative sum of ``val_col`` in ``order_col`` order
+    with NO single-partition exchange (see module docstring)."""
+    df = _with_bucket(df, order_col, [], n_buckets)
+    cnts = df.groupBy("__bucket").agg(F.sum(val_col).alias("__v"))
+    offs = _cum_offsets(cnts, [], [("__v", "__off", None)]).select("__bucket", "__off")
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(offs), "__bucket")
+        .withColumn(out, F.col("__off") + F.sum(val_col).over(w))
+        .drop("__bucket", "__off")
+    )
+
+
+def contiguous_token_shards(
+    df: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Attach ``shard_id`` = floor(cumulative tokens before this doc /
+    budget) in ``order_col`` order."""
+    c = bucketed_cumsum(df, order_col, weight_col, out="__cum")
+    shard = F.floor((F.col("__cum") - F.col(weight_col)) / F.lit(budget))
+    return c.withColumn("shard_id", shard.cast("long")).drop("__cum")
+
+
+def shard_report(shards: DataFrame, weight_col: str = "n_tokens") -> DataFrame:
+    """Per-shard packing report (doc count + token total)."""
+    return shards.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight_col).alias("shard_tokens"),
+    )

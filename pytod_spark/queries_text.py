@@ -332,6 +332,102 @@ ORDER BY d.doc_id
 SQL_STRATIFIED_SAMPLE_DOCS = _sql_stratified_sample_docs()
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: 3-gram shingle overlap of every
+    training doc against the (broadcast) benchmark shingle dictionary.
+    Benchmark set = doc_id % 37 == 0, a deterministic pseudo eval
+    split; docs with overlap >= 0.05 are flagged contaminated."""
+    from .operators.decontaminate import contamination_report
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    train = d.where(F.col("doc_id") % 37 != 0)
+    return contamination_report(train, bench, threshold=0.05).orderBy("doc_id")
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 37 = 0),
+tr AS (SELECT doc_id, len(sh)::INTEGER AS n_shingles, sh FROM sh WHERE doc_id % 37 <> 0),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM tr),
+shared AS (SELECT e.doc_id, count(*) AS c FROM ex e JOIN bench b USING (shingle) GROUP BY 1)
+SELECT t.doc_id, t.n_shingles, coalesce(s.c, 0)::BIGINT AS n_shared,
+       round(coalesce(s.c, 0)::DOUBLE / greatest(t.n_shingles, 1), 6) AS overlap,
+       CASE WHEN coalesce(s.c, 0)::DOUBLE / greatest(t.n_shingles, 1) >= 0.05
+            THEN 1 ELSE 0 END AS contaminated
+FROM tr t LEFT JOIN shared s USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals, all map-side (no
+    shuffle): duplicate-token fraction, duplicate-bigram fraction,
+    and top-token fraction via a sorted-run aggregate() instead of
+    the explode -> two-groupBy mode plan (functions/text.py)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    dtf = T.dup_token_fraction(t)
+    ttf = T.top_token_fraction(t)
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        F.round(dtf, 6).alias("dup_token_frac"),
+        F.round(T.dup_gram_fraction(t, 2), 6).alias("dup_bigram_frac"),
+        F.round(ttf, 6).alias("top_token_frac"),
+        ((dtf > 0.65) | (ttf > 0.125)).cast("int").alias("flagged"),
+    ).orderBy("doc_id")
+
+
+SQL_REPETITION_SIGNALS = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, len(toks)::INTEGER AS n_tokens,
+        1 - len(list_distinct(toks))::DOUBLE / len(toks) AS dtf,
+        CASE WHEN len(toks) >= 2
+             THEN 1 - len(list_distinct(list_transform(range(1, len(toks)),
+                    i -> concat(toks[i], ' ', toks[i+1]))))::DOUBLE / (len(toks) - 1)
+             ELSE 0.0 END AS dbf
+      FROM t),
+m AS (SELECT doc_id, max(c)::DOUBLE AS mx FROM
+        (SELECT doc_id, tok, count(*) AS c FROM
+          (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2)
+      GROUP BY 1)
+SELECT b.doc_id, n_tokens, round(dtf, 6) AS dup_token_frac,
+       round(dbf, 6) AS dup_bigram_frac,
+       round(m.mx / n_tokens, 6) AS top_token_frac,
+       CASE WHEN dtf > 0.65 OR m.mx / n_tokens > 0.125 THEN 1 ELSE 0 END AS flagged
+FROM b JOIN m USING (doc_id) ORDER BY b.doc_id
+"""
+
+TOKEN_SHARD_BUDGET = 1500
+
+
+def q_token_shards(spark, sf_dir):
+    """Contiguous-fill packing of the corpus into ~1500-BPE-token
+    training shards, reported per shard. The global ordered cumsum
+    uses the bucketed two-pass plan (operators/packing.py) — no
+    single-partition window anywhere."""
+    from .operators.packing import contiguous_token_shards, shard_report
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", T.bpe_token_count(F.col("text")).alias("w"))
+    sh = contiguous_token_shards(
+        t, budget=TOKEN_SHARD_BUDGET, order_col="doc_id", weight_col="w"
+    )
+    return shard_report(sh, "w").orderBy("shard_id")
+
+
+SQL_TOKEN_SHARDS = f"""
+WITH t AS (SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+      FROM documents),
+c AS (SELECT doc_id, w, sum(w) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+SELECT ((cum - w) // {TOKEN_SHARD_BUDGET})::BIGINT AS shard_id,
+       count(*) AS n_docs, sum(w)::BIGINT AS shard_tokens
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_training_mix_report(spark, sf_dir):
     """End-to-end training-data pipeline composition — the flagship
     'what this engine is for' query: exact dedup (keep the min-doc_id
@@ -725,6 +821,9 @@ TEXT_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "sample_docs": q_sample_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
+    "contamination_check": q_contamination_check,
+    "repetition_signals": q_repetition_signals,
+    "token_shards": q_token_shards,
     "training_mix_report": q_training_mix_report,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -747,6 +846,9 @@ TEXT_ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "sample_docs": SQL_SAMPLE_DOCS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
+    "contamination_check": SQL_CONTAMINATION_CHECK,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
+    "token_shards": SQL_TOKEN_SHARDS,
     "training_mix_report": SQL_TRAINING_MIX_REPORT,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
