@@ -108,3 +108,59 @@ def test_knn_candidates_bounded_by_k(spark, embs):
     # count the pre-window candidate frame by disabling the final filter
     n_cand = pairs.count()  # post-window: exactly n * k
     assert n_cand == 500 * 6
+
+
+def test_contamination_benchmark_side_broadcasts(spark, docs):
+    """The benchmark shingle dictionary is the small side by
+    construction (eval sets stay small while the corpus scales) —
+    the overlap test must be a map-side BroadcastHashJoin, and the
+    only hash exchange in the plan is the final doc_id groupBy."""
+    from pytod_spark.operators.decontaminate import contamination_report
+
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    p = _plan(contamination_report(train, bench))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "partial_" in p  # map-side combine under the doc_id agg
+
+
+def test_bucketed_cumsum_window_is_bucket_partitioned(spark, docs):
+    """The global ordered cumulative sum must run as the bucketed
+    two-pass plan: every full-data Window partitioned by __bucket
+    (never an empty partition spec funneling the corpus through one
+    task) and the per-bucket offsets joined in by broadcast. The only
+    Exchange SinglePartition allowed is the approx_percentile final
+    aggregate, which carries one sketch buffer per partial — metadata,
+    not rows."""
+    from pytod_spark.operators.packing import contiguous_token_shards
+
+    t = docs.select("doc_id", F.length("text").alias("w"))
+    out = contiguous_token_shards(t, budget=10_000, order_col="doc_id",
+                                  weight_col="w")
+    p = _plan(out)
+    for frag in p.split("windowspecdefinition(")[1:]:
+        assert frag.startswith("__bucket"), f"unpartitioned window: {frag[:60]}"
+    assert "BroadcastHashJoin" in p  # per-bucket offsets join in small
+    for frag in p.split("Exchange SinglePartition")[1:]:
+        nxt = frag.splitlines()[1] if "\n" in frag else ""
+        assert "Aggregate" in nxt, "SinglePartition exchange over row data"
+
+
+def test_repetition_signals_stay_map_side(spark, docs):
+    """dup-token / dup-gram / top-token fractions are pure array
+    arithmetic: the unsorted select must plan with zero exchanges and
+    entirely JVM-side (higher-order functions are codegen-fallback
+    expressions, so no WholeStageCodegen span — but also no Python
+    eval node)."""
+    from pytod_spark.functions import text as T
+
+    t = F.col("text")
+    out = docs.select(
+        T.dup_token_fraction(t).alias("a"),
+        T.dup_gram_fraction(t, 2).alias("b"),
+        T.top_token_fraction(t).alias("c"),
+    )
+    p = _plan(out)
+    assert "Exchange" not in p
+    assert "EvalPython" not in p  # no Arrow/row Python eval in the path
