@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "embedding_neardup_ann",
     "cosine_topk_ivf",
+    "contamination_check",
+    "repetition_signals",
+    "token_shards",
+    "vocab_topk",
+    "bpe_merge_candidates",
     "training_mix_report",
     "drift_verdicts",
     "multimodal_metadata",

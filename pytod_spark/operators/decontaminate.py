@@ -53,18 +53,22 @@ def contamination_report(
     dict_df = F.broadcast(
         benchmark_shingle_dict(bench, text_col, n).withColumn("__hit", F.lit(1))
     )
-    # single scan: per-doc totals ride through the explode; explode_outer
-    # keeps shingle-less docs alive as one null-shingle row
+    # single scan; explode_outer keeps shingle-less docs alive as one
+    # null-shingle row. Deliberately NO size(shingles) column here:
+    # Catalyst collapses such a projection ABOVE the Generate, where
+    # the whole shingle expression is re-evaluated per exploded row
+    # (measured 7x-inlined, ~50x per-doc recompute at 52 shingles/doc).
+    # The array is distinct per doc, so count(shingle) in the agg IS
+    # its size — one expression evaluation per document, total.
     ex = train.select(
         F.col(id_col),
-        F.size(T.shingles(F.col(text_col), n)).alias("n_shingles"),
         F.explode_outer(T.shingles(F.col(text_col), n)).alias("shingle"),
     )
     agg = (
         ex.join(dict_df, "shingle", "left")
         .groupBy(id_col)
         .agg(
-            F.max("n_shingles").alias("n_shingles"),
+            F.count("shingle").cast("int").alias("n_shingles"),
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_shared"),
         )
     )

@@ -428,6 +428,48 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Per-language top-10 vocabulary candidates (term + document
+    frequency) — the tokenizer-training corpus scan. Word-count-shaped
+    with map-side combine; the rank filter compiles to a
+    WindowGroupLimit partial/final pair (operators/vocab.py)."""
+    from .operators.vocab import vocab_topk
+
+    d = load(spark, sf_dir, "documents")
+    return vocab_topk(d, k=10).orderBy("lang", "rank")
+
+
+SQL_VOCAB_TOPK = f"""
+WITH t AS (SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS token FROM documents),
+f AS (SELECT lang, token, count(*)::BIGINT AS tf,
+             count(DISTINCT doc_id)::BIGINT AS df
+      FROM t WHERE token <> '' GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY tf DESC, token ASC) AS rank FROM f)
+SELECT lang, rank::INTEGER AS rank, token, tf, df
+FROM r WHERE rank <= 10 ORDER BY lang, rank
+"""
+
+
+def q_bpe_merge_candidates(spark, sf_dir):
+    """Global top-20 adjacent token pairs — one iteration of the BPE
+    merge-candidate scan at word granularity (operators/vocab.py)."""
+    from .operators.vocab import merge_pair_topk
+
+    d = load(spark, sf_dir, "documents")
+    return merge_pair_topk(d, k=20).orderBy("rank")
+
+
+SQL_BPE_MERGE_CANDIDATES = f"""
+WITH g AS (SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> concat(toks[i], ' ', toks[i+1]))) AS pair
+           FROM (SELECT {_DUCK_TOKS} AS toks FROM documents)),
+c AS (SELECT pair, count(*)::BIGINT AS cnt FROM g GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank FROM c)
+SELECT rank::INTEGER AS rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank
+"""
+
+
 def q_training_mix_report(spark, sf_dir):
     """End-to-end training-data pipeline composition — the flagship
     'what this engine is for' query: exact dedup (keep the min-doc_id
@@ -824,6 +866,8 @@ TEXT_QUERIES = {
     "contamination_check": q_contamination_check,
     "repetition_signals": q_repetition_signals,
     "token_shards": q_token_shards,
+    "vocab_topk": q_vocab_topk,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
     "training_mix_report": q_training_mix_report,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -849,6 +893,8 @@ TEXT_ORACLES = {
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "token_shards": SQL_TOKEN_SHARDS,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
     "training_mix_report": SQL_TRAINING_MIX_REPORT,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

@@ -123,6 +123,11 @@ def test_contamination_benchmark_side_broadcasts(spark, docs):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "partial_" in p  # map-side combine under the doc_id agg
+    # the shingle expression must be evaluated exactly once per side
+    # (inside each Generate) — a size(shingles) projection collapses
+    # ABOVE the Generate and re-evaluates it per exploded row
+    # (measured 8.7x slowdown); n_shingles comes from count(shingle)
+    assert p.count("array_distinct(") == 2
 
 
 def test_bucketed_cumsum_window_is_bucket_partitioned(spark, docs):
@@ -164,3 +169,25 @@ def test_repetition_signals_stay_map_side(spark, docs):
     p = _plan(out)
     assert "Exchange" not in p
     assert "EvalPython" not in p  # no Arrow/row Python eval in the path
+
+
+def test_vocab_topk_uses_window_group_limit(spark, docs):
+    """The per-language rank<=k filter must compile to a
+    WindowGroupLimit partial/final pair — every map task pre-trims to
+    k rows per language before the exchange."""
+    from pytod_spark.operators.vocab import vocab_topk
+
+    p = _plan(vocab_topk(docs, 10))
+    assert p.count("WindowGroupLimit") == 2
+    assert "partial_count" in p  # map-side combine under the token agg
+
+
+def test_merge_pair_topk_is_take_ordered(spark, docs):
+    """The GLOBAL rank<=k filter must plan as TakeOrderedAndProject
+    (per-partition top-k heap), never a full-corpus single-partition
+    WindowExec."""
+    from pytod_spark.operators.vocab import merge_pair_topk
+
+    p = _plan(merge_pair_topk(docs, 20))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange SinglePartition" not in p
