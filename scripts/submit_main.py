@@ -1,0 +1,21 @@
+"""spark-submit entrypoint shim.
+
+The north rule requires the engine to run via
+``spark-submit --py-files pytod_spark.zip``. ``pytod_spark/cli.py``
+uses package-relative imports, so it cannot be handed to spark-submit
+as a bare file; this shim is the primary application file —
+``pytod_spark`` itself resolves from the ``--py-files`` zip (built by
+``pytod_spark.deploy.build_pyfiles_zip``), NOT from the repo checkout.
+
+    spark-submit --master local[8] --py-files /tmp/pytod_spark_pyfiles.zip \
+        scripts/submit_main.py validate --input ... --parent ... --run-dir ...
+
+Exercised end-to-end by scripts/submit_smoke.sh.
+"""
+
+import sys
+
+from pytod_spark.cli import main
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# spark-submit --py-files smoke test (north-rule deployment posture).
+#
+# Builds the pytod_spark zip, then runs generate + validate through
+# `spark-submit --py-files` from a scratch cwd so the package can ONLY
+# resolve from the shipped zip — the same packaging a real cluster
+# submission uses. Exits non-zero if the suite fails or emits no
+# verdicts.
+set -euo pipefail
+
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+WORK="$(mktemp -d)"
+trap 'rm -rf "$WORK"' EXIT
+
+ZIP="$WORK/pytod_spark.zip"
+PYTHONPATH="$REPO" python -c "
+from pytod_spark.deploy import build_pyfiles_zip
+print(build_pyfiles_zip('$ZIP'))
+"
+cp "$REPO/scripts/submit_main.py" "$WORK/submit_main.py"
+
+SUBMIT=${SPARK_SUBMIT:-spark-submit}
+COMMON=(--master "local[${SPARK_GRAFT_CPUS:-8}]" --py-files "$ZIP"
+        --conf spark.ui.enabled=false
+        --conf spark.sql.shuffle.partitions=8)
+
+cd "$WORK"   # scratch cwd: no repo checkout on sys.path
+
+"$SUBMIT" "${COMMON[@]}" submit_main.py \
+    generate --rows 20000 --out "$WORK/corpus" --parent-out "$WORK/parent"
+
+"$SUBMIT" "${COMMON[@]}" submit_main.py \
+    validate --input "$WORK/corpus" --parent "$WORK/parent" \
+    --run-dir "$WORK/run1"
+
+test -d "$WORK/run1/verdicts" || { echo "no verdicts dir"; ls "$WORK/run1"; exit 1; }
+echo "submit_smoke: OK"
