@@ -78,3 +78,31 @@ def stratified_sample(
         )
         .drop("__thr")
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "",
+    out: str = "shuffle_rank",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: rank every row by
+    the 60-bit md5 hash of (key || salt). The permutation is a pure
+    function of the keys — reproducible on any cluster size, and a
+    new salt is a fresh epoch-shuffle with zero RNG state.
+
+    100-TB shape: a global rank is the one-reducer trap; this reuses
+    the bucketed two-pass cumulative sum (operators/packing.py — the
+    only full-data window is partitioned by hash-range bucket, per-
+    bucket offsets join in by broadcast). Requires ``key_col`` unique
+    (md5 ties would make within-tie order engine-dependent).
+    """
+    from ..functions.text import md5_hash60
+    from .packing import bucketed_cumsum
+
+    keyed = df.withColumn(
+        "__skey", md5_hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    ).withColumn("__one", F.lit(1))
+    ranked = bucketed_cumsum(keyed, "__skey", "__one", out=out, n_buckets=n_buckets)
+    return ranked.withColumn(out, F.col(out).cast("long")).drop("__skey", "__one")

@@ -470,6 +470,26 @@ SELECT rank::INTEGER AS rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank
 """
 
 
+def q_training_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: every doc ranked
+    by md5(doc_id || 'ord-v1') through the bucketed two-pass rank
+    (operators/sampling.py shuffle_order) — reproducible at any
+    cluster size, no single-partition sort."""
+    from .operators.sampling import shuffle_order
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shuffle_order(d, key_col="doc_id", salt="ord-v1").orderBy("doc_id")
+
+
+SQL_TRAINING_SHUFFLE = """
+SELECT doc_id, lang,
+       row_number() OVER (ORDER BY
+         ('0x' || substr(md5(doc_id::VARCHAR || 'ord-v1'), 1, 15))::BIGINT
+       )::BIGINT AS shuffle_rank
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_training_mix_report(spark, sf_dir):
     """End-to-end training-data pipeline composition — the flagship
     'what this engine is for' query: exact dedup (keep the min-doc_id
@@ -868,6 +888,7 @@ TEXT_QUERIES = {
     "token_shards": q_token_shards,
     "vocab_topk": q_vocab_topk,
     "bpe_merge_candidates": q_bpe_merge_candidates,
+    "training_shuffle": q_training_shuffle,
     "training_mix_report": q_training_mix_report,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -895,6 +916,7 @@ TEXT_ORACLES = {
     "token_shards": SQL_TOKEN_SHARDS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
+    "training_shuffle": SQL_TRAINING_SHUFFLE,
     "training_mix_report": SQL_TRAINING_MIX_REPORT,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

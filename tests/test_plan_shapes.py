@@ -191,3 +191,14 @@ def test_merge_pair_topk_is_take_ordered(spark, docs):
     p = _plan(merge_pair_topk(docs, 20))
     assert "TakeOrderedAndProject" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_shuffle_order_window_is_bucket_partitioned(spark, docs):
+    """The global md5-rank must reuse the bucketed two-pass plan —
+    no unpartitioned window over the corpus."""
+    from pytod_spark.operators.sampling import shuffle_order
+
+    p = _plan(shuffle_order(docs.select("doc_id"), "doc_id", "ord-v1"))
+    for frag in p.split("windowspecdefinition(")[1:]:
+        assert frag.startswith("__bucket"), f"unpartitioned window: {frag[:60]}"
+    assert "BroadcastHashJoin" in p
