@@ -490,6 +490,50 @@ FROM documents ORDER BY doc_id
 """
 
 
+MIX_ALPHA = 0.7
+
+
+def q_mix_weights(spark, sf_dir):
+    """Temperature-based language sampling weights (the multilingual
+    corpus-mixing step): p_l = n_l^alpha / sum_m n_m^alpha with
+    alpha=0.7, plus the implied up/down-sampling boost p_l / share_l.
+    One partial-aggregated groupBy to ~|langs| rows, then two
+    broadcast joins of 1-row totals — nothing bigger than the language
+    list ever moves."""
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    pw = cnt.withColumn("pow_cnt", F.pow("n_docs", F.lit(MIX_ALPHA)))
+    tot = pw.agg(
+        F.sum("pow_cnt").alias("tot_pow"), F.sum("n_docs").alias("tot_docs")
+    )
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("pow_cnt") / F.col("tot_pow"), 6).alias("weight"),
+            F.round(
+                (F.col("pow_cnt") / F.col("tot_pow"))
+                / (F.col("n_docs") / F.col("tot_docs")),
+                6,
+            ).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_MIX_WEIGHTS = f"""
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                  pow(count(*), {MIX_ALPHA}) AS pow_cnt
+           FROM documents GROUP BY lang),
+t AS (SELECT sum(pow_cnt) AS tot_pow, sum(n_docs) AS tot_docs FROM c)
+SELECT lang, n_docs,
+       round(pow_cnt / tot_pow, 6) AS weight,
+       round((pow_cnt / tot_pow) / (n_docs::DOUBLE / tot_docs), 6) AS boost
+FROM c, t ORDER BY lang
+"""
+
+
 def q_training_mix_report(spark, sf_dir):
     """End-to-end training-data pipeline composition — the flagship
     'what this engine is for' query: exact dedup (keep the min-doc_id
@@ -889,6 +933,7 @@ TEXT_QUERIES = {
     "vocab_topk": q_vocab_topk,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "training_shuffle": q_training_shuffle,
+    "mix_weights": q_mix_weights,
     "training_mix_report": q_training_mix_report,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -917,6 +962,7 @@ TEXT_ORACLES = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
     "training_shuffle": SQL_TRAINING_SHUFFLE,
+    "mix_weights": SQL_MIX_WEIGHTS,
     "training_mix_report": SQL_TRAINING_MIX_REPORT,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
