@@ -838,6 +838,45 @@ def _merge_extra():
     ORACLES.update(EVAL_ORACLES)
 
 
+def q_psi_events(spark, sf_dir):
+    """Population Stability Index drift between two event snapshots
+    (reference = even event_ids, current = odd) per event_type —
+    10 reference-range bins, proportions clamped at 1e-6, verdict
+    psi > 0.2 (validation/psi.py)."""
+    from .validation.psi import psi_report
+
+    ev = load(spark, sf_dir, "events")
+    return psi_report(
+        ev, F.col("event_id") % 2 == 0, "value", "event_type"
+    ).orderBy("event_type")
+
+
+SQL_PSI_EVENTS = """
+WITH stats AS (
+  SELECT event_type,
+         min(CASE WHEN event_id % 2 = 0 THEN value END) AS lo,
+         max(CASE WHEN event_id % 2 = 0 THEN value END) AS hi
+  FROM events GROUP BY event_type),
+b AS (
+  SELECT e.event_type,
+         least(greatest(floor((e.value - s.lo) / ((s.hi - s.lo) / 10)), 0), 9)::INTEGER AS bin,
+         CASE WHEN e.event_id % 2 = 0 THEN 1 ELSE 0 END AS r,
+         CASE WHEN e.event_id % 2 = 0 THEN 0 ELSE 1 END AS c
+  FROM events e JOIN stats s USING (event_type)),
+h AS (SELECT event_type, bin, sum(r) AS r, sum(c) AS c FROM b GROUP BY 1, 2),
+t AS (SELECT event_type, sum(r) AS tr, sum(c) AS tc FROM h GROUP BY 1)
+SELECT h.event_type,
+       max(t.tr)::BIGINT AS n_ref, max(t.tc)::BIGINT AS n_cur,
+       round(sum((greatest(h.r / t.tr, 1e-6) - greatest(h.c / t.tc, 1e-6))
+                 * ln(greatest(h.r / t.tr, 1e-6) / greatest(h.c / t.tc, 1e-6))), 6) AS psi,
+       CASE WHEN round(sum((greatest(h.r / t.tr, 1e-6) - greatest(h.c / t.tc, 1e-6))
+                 * ln(greatest(h.r / t.tr, 1e-6) / greatest(h.c / t.tc, 1e-6))), 6) > 0.2
+            THEN 1 ELSE 0 END AS drifted
+FROM h JOIN t USING (event_type)
+GROUP BY h.event_type ORDER BY h.event_type
+"""
+
+
 QUERIES = {
     "knn_scores": q_knn_scores,
     "knn_scores_lowprec": q_knn_scores_lowprec,
@@ -854,6 +893,7 @@ QUERIES = {
     "ecdf_events": q_ecdf_events,
     "hist_events": q_hist_events,
     "standardize_events": q_standardize_events,
+    "psi_events": q_psi_events,
     "threshold_labels_events": q_threshold_labels_events,
     "predict_labels_events": q_predict_labels_events,
     "predict_rank_events": q_predict_rank_events,
@@ -887,6 +927,7 @@ ORACLES = {
     "ecdf_events": SQL_ECDF_EVENTS,
     "hist_events": SQL_HIST_EVENTS,
     "standardize_events": SQL_STANDARDIZE_EVENTS,
+    "psi_events": SQL_PSI_EVENTS,
     "threshold_labels_events": SQL_THRESHOLD_LABELS_EVENTS,
     "predict_labels_events": SQL_PREDICT_LABELS_EVENTS,
     "predict_rank_events": SQL_PREDICT_RANK_EVENTS,

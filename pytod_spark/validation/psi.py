@@ -1,0 +1,72 @@
+"""Population Stability Index drift check between two snapshots of a
+numeric column.
+
+The classic schema-validation drift statistic (complements the
+detector-based drift stage, validation/engine.py): bin the REFERENCE
+snapshot's value range into B fixed-width bins, histogram both
+snapshots onto those bins (out-of-range current values clamp to the
+edge bins), and report per group
+
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b)
+
+with proportions clamped at eps so empty bins contribute finitely.
+Rule-of-thumb verdicts: < 0.1 stable, 0.1-0.2 drifting, > 0.2 drifted.
+
+100-TB shape: two scans total — one conditional aggregate for the
+reference per-group min/max (a ~|groups|-row model, broadcast back),
+one conditional aggregate to the (group x bin) histogram (<= G*B
+rows; per-doc repetition collapses map-side). The PSI reduction then
+runs over the tiny histogram frame. Nothing row-scale ever shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-6
+
+
+def psi_report(
+    df: DataFrame,
+    is_ref: Column,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_bins: int = 10,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per-group PSI of ``value_col`` between the rows where ``is_ref``
+    is true (reference snapshot) and the rest (current snapshot)."""
+    ref_val = F.when(is_ref, F.col(value_col))
+    stats = df.groupBy(group_col).agg(
+        F.min(ref_val).alias("__lo"), F.max(ref_val).alias("__hi")
+    )
+    binned = df.join(F.broadcast(stats), group_col)
+    width = (F.col("__hi") - F.col("__lo")) / n_bins
+    raw_bin = F.floor((F.col(value_col) - F.col("__lo")) / width)
+    bin_id = F.least(
+        F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    hist = (
+        binned.withColumn("__bin", bin_id)
+        .groupBy(group_col, "__bin")
+        .agg(
+            F.sum(F.when(is_ref, 1).otherwise(0)).alias("__r"),
+            F.sum(F.when(is_ref, 0).otherwise(1)).alias("__c"),
+        )
+    )
+    tot = hist.groupBy(group_col).agg(
+        F.sum("__r").alias("__tr"), F.sum("__c").alias("__tc")
+    )
+    p = F.greatest(F.col("__r") / F.col("__tr"), F.lit(EPS))
+    q = F.greatest(F.col("__c") / F.col("__tc"), F.lit(EPS))
+    return (
+        hist.join(F.broadcast(tot), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("__tr").cast("long").alias("n_ref"),
+            F.max("__tc").cast("long").alias("n_cur"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        )
+        .withColumn("drifted", (F.col("psi") > threshold).cast("int"))
+    )
