@@ -877,6 +877,43 @@ GROUP BY h.event_type ORDER BY h.event_type
 """
 
 
+def q_ks_events(spark, sf_dir):
+    """Two-sample KS drift between even/odd event_id snapshots per
+    event_type — D over the pooled distinct-value support via the
+    bucketed two-pass cumulative counts (validation/ks.py)."""
+    from .validation.ks import ks_report
+
+    ev = load(spark, sf_dir, "events")
+    return ks_report(
+        ev, F.col("event_id") % 2 == 0, "value", "event_type"
+    ).orderBy("event_type")
+
+
+SQL_KS_EVENTS = """
+WITH pv AS (
+  SELECT event_type, value,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS r,
+         sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, r, c,
+         sum(r) OVER w - r AS r_lt, sum(c) OVER w - c AS c_lt
+  FROM pv
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+t AS (SELECT event_type, sum(r) AS tr, sum(c) AS tc FROM pv GROUP BY 1)
+SELECT cum.event_type,
+       max(t.tr)::BIGINT AS n_ref, max(t.tc)::BIGINT AS n_cur,
+       round(max(abs((r_lt + r) / t.tr - (c_lt + c) / t.tc)), 6) AS ks_d,
+       round(max(1.358 * sqrt((t.tr + t.tc) / (t.tr * t.tc))), 6) AS ks_crit,
+       CASE WHEN round(max(abs((r_lt + r) / t.tr - (c_lt + c) / t.tc)), 6)
+                 > round(max(1.358 * sqrt((t.tr + t.tc) / (t.tr * t.tc))), 6)
+            THEN 1 ELSE 0 END AS drifted
+FROM cum JOIN t USING (event_type)
+GROUP BY cum.event_type ORDER BY cum.event_type
+"""
+
+
 QUERIES = {
     "knn_scores": q_knn_scores,
     "knn_scores_lowprec": q_knn_scores_lowprec,
@@ -894,6 +931,7 @@ QUERIES = {
     "hist_events": q_hist_events,
     "standardize_events": q_standardize_events,
     "psi_events": q_psi_events,
+    "ks_events": q_ks_events,
     "threshold_labels_events": q_threshold_labels_events,
     "predict_labels_events": q_predict_labels_events,
     "predict_rank_events": q_predict_rank_events,
@@ -928,6 +966,7 @@ ORACLES = {
     "hist_events": SQL_HIST_EVENTS,
     "standardize_events": SQL_STANDARDIZE_EVENTS,
     "psi_events": SQL_PSI_EVENTS,
+    "ks_events": SQL_KS_EVENTS,
     "threshold_labels_events": SQL_THRESHOLD_LABELS_EVENTS,
     "predict_labels_events": SQL_PREDICT_LABELS_EVENTS,
     "predict_rank_events": SQL_PREDICT_RANK_EVENTS,

@@ -1,0 +1,62 @@
+"""Two-sample Kolmogorov-Smirnov drift check between two snapshots of
+a numeric column.
+
+The distribution-free companion to the PSI check (validation/psi.py):
+D = max_x |F_ref(x) - F_cur(x)| over the pooled support, with the
+standard large-sample significance bound
+D_crit = c(alpha) * sqrt((n_r + n_c) / (n_r * n_c)), c(0.05) = 1.358.
+
+100-TB shape: pre-aggregate to one row per (group, distinct value)
+with per-side counts (partial-aggregated hash shuffle), then the
+strictly-smaller cumulative counts come from the bucketed two-pass
+machinery (operators/ranking.py bucketed_cumsums — windows
+partitioned by (group, bucket), per-bucket offsets by broadcast; no
+single-task sort even when one group holds the whole corpus). The
+max-reduction is one more partial-aggregated groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.ranking import bucketed_cumsums
+
+KS_C_ALPHA = 1.358  # alpha = 0.05
+
+
+def ks_report(
+    df: DataFrame,
+    is_ref: Column,
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per-group two-sample KS statistic between the rows where
+    ``is_ref`` is true and the rest, with a 5%-level drift verdict."""
+    per_val = df.groupBy(group_col, value_col).agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).alias("__r"),
+        F.sum(F.when(is_ref, 0).otherwise(1)).alias("__c"),
+    )
+    cum = bucketed_cumsums(
+        per_val, value_col, {"__r": "__r_lt", "__c": "__c_lt"},
+        part_cols=[group_col],
+    )
+    tot = per_val.groupBy(group_col).agg(
+        F.sum("__r").alias("__tr"), F.sum("__c").alias("__tc")
+    )
+    f_ref = (F.col("__r_lt") + F.col("__r")) / F.col("__tr")
+    f_cur = (F.col("__c_lt") + F.col("__c")) / F.col("__tc")
+    crit = KS_C_ALPHA * F.sqrt(
+        (F.col("__tr") + F.col("__tc")) / (F.col("__tr") * F.col("__tc"))
+    )
+    return (
+        cum.join(F.broadcast(tot), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("__tr").cast("long").alias("n_ref"),
+            F.max("__tc").cast("long").alias("n_cur"),
+            F.round(F.max(F.abs(f_ref - f_cur)), 6).alias("ks_d"),
+            F.round(F.max(crit), 6).alias("ks_crit"),
+        )
+        .withColumn("drifted", (F.col("ks_d") > F.col("ks_crit")).cast("int"))
+    )
