@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "pca_scores",
     "hbos_events",
     "ecdf_events",
+    "psi_events",
+    "ks_events",
     "stats_profile_sketch",
     "uniqueness_lineitem",
     "ri_lineitem_orders",
