@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--threshold", type=float, default=0.5, help="Jaccard threshold")
     d.add_argument("--master", default=None)
 
+    k = sub.add_parser("drift", help="PSI + KS drift between two table snapshots")
+    k.add_argument("--ref", required=True, help="reference snapshot (parquet dir or table:/iceberg:<name>)")
+    k.add_argument("--cur", required=True, help="current snapshot")
+    k.add_argument("--value-col", default="value")
+    k.add_argument("--group-col", default="lang")
+    k.add_argument("--master", default=None)
+
     s = sub.add_parser("sample", help="deterministic hash sample of a table")
     s.add_argument("--input", required=True)
     s.add_argument("--out", required=True)
@@ -83,6 +90,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         cc.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"clustered_docs": spark.read.parquet(args.out).count()}))
+        return 0
+
+    if args.cmd == "drift":
+        from pyspark.sql.functions import lit as F_lit
+
+        from .validation.ks import ks_report
+        from .validation.psi import psi_report
+
+        cols = [args.group_col, args.value_col]
+        both = (
+            load_table(spark, args.ref).select(*cols).withColumn("__is_ref", F_lit(True))
+        ).unionByName(
+            load_table(spark, args.cur).select(*cols).withColumn("__is_ref", F_lit(False))
+        )
+        psi = psi_report(both, F_col("__is_ref"), args.value_col, args.group_col)
+        ks = ks_report(both, F_col("__is_ref"), args.value_col, args.group_col)
+        rep = psi.withColumnRenamed("drifted", "psi_drifted").join(
+            ks.select(args.group_col, "ks_d", "ks_crit",
+                      F_col("drifted").alias("ks_drifted")),
+            args.group_col,
+        )
+        print(json.dumps([r.asDict() for r in rep.orderBy(args.group_col).collect()]))
         return 0
 
     if args.cmd == "sample":

@@ -202,3 +202,28 @@ def test_shuffle_order_window_is_bucket_partitioned(spark, docs):
     for frag in p.split("windowspecdefinition(")[1:]:
         assert frag.startswith("__bucket"), f"unpartitioned window: {frag[:60]}"
     assert "BroadcastHashJoin" in p
+
+
+def test_ks_windows_are_bucket_partitioned(spark):
+    """The KS cumulative counts must come from the bucketed two-pass
+    plan — every window partitioned by (group, bucket), and the only
+    broadcast-exchange inputs are the tiny boundary/offset frames."""
+    from pytod_spark.validation.ks import ks_report
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = _plan(ks_report(ev, F.col("event_id") % 2 == 0, "value", "event_type"))
+    for frag in p.split("windowspecdefinition(")[1:]:
+        assert frag.startswith("event_type"), f"bad window: {frag[:60]}"
+    assert "Exchange SinglePartition" not in p
+
+
+def test_psi_model_joins_broadcast(spark):
+    """PSI's per-group reference min/max is a ~|groups|-row model —
+    it must join back by broadcast, and the row-scale scan must keep
+    map-side combine under the histogram aggregate."""
+    from pytod_spark.validation.psi import psi_report
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = _plan(psi_report(ev, F.col("event_id") % 2 == 0, "value", "event_type"))
+    assert "BroadcastHashJoin" in p
+    assert "partial_" in p
