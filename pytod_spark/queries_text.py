@@ -4,6 +4,7 @@ DuckDB oracles. Merged into the main catalogue by queries.py."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
@@ -490,6 +491,68 @@ FROM documents ORDER BY doc_id
 """
 
 
+LM_VOCAB_K = 1000  # dictionary truncation; rarer tokens score as OOV
+LM_OOV_LOGP = -12.0
+
+
+def q_doc_logprob(spark, sf_dir):
+    """Unigram-LM quality score: per-document mean token log-prob
+    under the corpus's own unigram distribution (the classic LM-based
+    quality filter — low mean logprob = gibberish / OOV-heavy text).
+
+    100-TB shape: the dictionary is the corpus top-K tokens (the
+    vocab_topk machinery, K fixed so the model side stays broadcast-
+    sized at any corpus size); scoring is one exploded pass with a
+    broadcast left join and a per-doc partial-aggregated mean —
+    exactly the decontamination plan with logprobs instead of hits.
+    """
+    from .operators.vocab import token_stats
+
+    d = load(spark, sf_dir, "documents")
+    st = token_stats(d)
+    tot = st.agg(F.sum("tf").alias("tot"))
+    dic = F.broadcast(
+        st.groupBy("token").agg(F.sum("tf").alias("tf"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(
+            Window.orderBy(F.col("tf").desc(), F.col("token").asc())))
+        .where(F.col("rnk") <= LM_VOCAB_K)
+        .select("token", F.log(F.col("tf") / F.col("tot")).alias("logp"))
+    )
+    ex = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        ex.join(dic, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.coalesce(F.col("logp"), F.lit(LM_OOV_LOGP))), 6)
+            .alias("mean_logprob"),
+        )
+        .withColumn("low_quality", (F.col("mean_logprob") < -8.0).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_LOGPROB = f"""
+WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents),
+tok2 AS (SELECT * FROM tok WHERE token <> ''),
+freq AS (SELECT token, count(*)::BIGINT AS tf FROM tok2 GROUP BY 1),
+tot AS (SELECT sum(tf) AS tot FROM freq),
+dic AS (SELECT token, ln(tf / tot) AS logp
+        FROM (SELECT token, tf, row_number() OVER
+                (ORDER BY tf DESC, token ASC) AS rnk FROM freq), tot
+        WHERE rnk <= {LM_VOCAB_K})
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(coalesce(d.logp, {LM_OOV_LOGP})), 6) AS mean_logprob,
+       CASE WHEN round(avg(coalesce(d.logp, {LM_OOV_LOGP})), 6) < -8.0
+            THEN 1 ELSE 0 END AS low_quality
+FROM tok2 t LEFT JOIN dic d USING (token)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 MIX_ALPHA = 0.7
 
 
@@ -934,6 +997,7 @@ TEXT_QUERIES = {
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "training_shuffle": q_training_shuffle,
     "mix_weights": q_mix_weights,
+    "doc_logprob": q_doc_logprob,
     "training_mix_report": q_training_mix_report,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -963,6 +1027,7 @@ TEXT_ORACLES = {
     "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
     "training_shuffle": SQL_TRAINING_SHUFFLE,
     "mix_weights": SQL_MIX_WEIGHTS,
+    "doc_logprob": SQL_DOC_LOGPROB,
     "training_mix_report": SQL_TRAINING_MIX_REPORT,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,

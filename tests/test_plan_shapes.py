@@ -227,3 +227,15 @@ def test_psi_model_joins_broadcast(spark):
     p = _plan(psi_report(ev, F.col("event_id") % 2 == 0, "value", "event_type"))
     assert "BroadcastHashJoin" in p
     assert "partial_" in p
+
+
+def test_doc_logprob_dictionary_is_take_ordered(spark, docs):
+    """The unigram dictionary truncation (top-K by corpus tf) must
+    plan as TakeOrderedAndProject, scoring joins must be broadcast,
+    and the only SinglePartition exchange is the 1-row token total."""
+    from pytod_spark.queries import QUERIES
+
+    p = _plan(QUERIES["doc_logprob"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange SinglePartition") <= 1
