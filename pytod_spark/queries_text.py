@@ -717,6 +717,33 @@ SELECT doc_a, doc_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.4 ORDER BY doc_a
 """
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 symmetric quantization round-trip quality per vector
+    (operators/quantize.py): global max-|x| scale (1-row broadcast),
+    map-side quantize/dequantize, cosine + max elementwise error."""
+    from .operators.quantize import quantization_report
+
+    e = emb(spark, sf_dir)
+    return quantization_report(e, "row_id", "features").orderBy("row_id")
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH e AS (SELECT vec_id AS row_id, embedding::DOUBLE[] AS f FROM embeddings),
+s AS (SELECT max(greatest(abs(list_min(f)), abs(list_max(f)))) AS sc FROM e),
+qd AS (SELECT row_id, f,
+         list_transform(f, x ->
+           greatest(least(floor(x / sc * 127 + 0.5), 127), -127) * sc / 127) AS q
+       FROM e, s)
+SELECT row_id,
+  round(list_sum(list_transform(range(1, len(f)+1), i -> f[i]*q[i]))
+        / sqrt(list_sum(list_transform(f, x -> x*x))
+               * list_sum(list_transform(q, x -> x*x))), 6) AS cos_sim,
+  round(list_max(list_transform(range(1, len(f)+1), i -> abs(f[i]-q[i]))), 6)
+    AS max_abs_err
+FROM qd ORDER BY row_id
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     e = emb(spark, sf_dir)
     out = S.cosine_topk_join(e, k=3, block_size=2048)
@@ -1001,6 +1028,7 @@ TEXT_QUERIES = {
     "training_mix_report": q_training_mix_report,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
+    "quantize_embeddings": q_quantize_embeddings,
     "cosine_topk": q_cosine_topk,
     "rp_lsh_buckets": q_rp_lsh_buckets,
     "embedding_neardup_ann": q_embedding_neardup_ann,
@@ -1031,6 +1059,7 @@ TEXT_ORACLES = {
     "training_mix_report": SQL_TRAINING_MIX_REPORT,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "cosine_topk": SQL_COSINE_TOPK,
     "rp_lsh_buckets": SQL_RP_LSH_BUCKETS,
     "embedding_neardup_ann": SQL_EMBEDDING_NEARDUP_ANN,
