@@ -859,7 +859,9 @@ WITH stats AS (
   FROM events GROUP BY event_type),
 b AS (
   SELECT e.event_type,
-         least(greatest(floor((e.value - s.lo) / ((s.hi - s.lo) / 10)), 0), 9)::INTEGER AS bin,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE least(greatest(floor((e.value - s.lo) / ((s.hi - s.lo) / 10)), 0), 9)
+         END::INTEGER AS bin,
          CASE WHEN e.event_id % 2 = 0 THEN 1 ELSE 0 END AS r,
          CASE WHEN e.event_id % 2 = 0 THEN 0 ELSE 1 END AS c
   FROM events e JOIN stats s USING (event_type)),

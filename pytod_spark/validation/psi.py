@@ -44,8 +44,10 @@ def psi_report(
     binned = df.join(F.broadcast(stats), group_col)
     width = (F.col("__hi") - F.col("__lo")) / n_bins
     raw_bin = F.floor((F.col(value_col) - F.col("__lo")) / width)
-    bin_id = F.least(
-        F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1)
+    # degenerate reference (all values equal -> width 0) puts every
+    # row in bin 0 instead of NaN/Inf bins
+    bin_id = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1))
     ).cast("int")
     hist = (
         binned.withColumn("__bin", bin_id)

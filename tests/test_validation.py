@@ -105,3 +105,44 @@ def test_resume_skips_completed_partitions(spark, corpus, parent, tmp_path):
     uniq_total = spark.read.parquet(os.path.join(run_dir, "uniqueness_violations")).count()
     expected = clean.groupBy("repo", "path", "commit").count().where("count > 1").count()
     assert uniq_total == expected
+
+
+def test_psi_detects_shift_and_handles_degenerate_group(spark):
+    """PSI flags a shifted snapshot; a constant-value reference group
+    (zero bin width) degrades to bin 0 instead of NaN/Inf bins."""
+    from pyspark.sql import functions as F
+
+    from pytod_spark.validation.psi import psi_report
+
+    # group 'shift': ref uniform 0..99, cur shifted +60
+    rows = [
+        ("shift", float((i // 2) % 100) + (0.0 if i % 2 == 0 else 60.0),
+         i % 2 == 0)
+        for i in range(2000)
+    ] + [("const", 5.0, i % 2 == 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, value double, is_ref boolean")
+    out = {r["g"]: r for r in psi_report(
+        df, F.col("is_ref"), "value", "g").collect()}
+    assert out["shift"]["drifted"] == 1 and out["shift"]["psi"] > 0.2
+    assert out["const"]["psi"] == 0.0 and out["const"]["drifted"] == 0
+
+
+def test_ks_flags_shift_not_identical(spark):
+    from pyspark.sql import functions as F
+
+    from pytod_spark.validation.ks import ks_report
+
+    # pair i%2 with (i // 2) % 50 so both sides see identical values
+    # (i % 2 and i % 50 correlate: even i only hits even residues)
+    rows = [
+        ("same", float((i // 2) % 50), i % 2 == 0) for i in range(2000)
+    ] + [
+        ("shift", float((i // 2) % 50) + (0.0 if i % 2 == 0 else 20.0),
+         i % 2 == 0)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double, is_ref boolean")
+    out = {r["g"]: r for r in ks_report(
+        df, F.col("is_ref"), "value", "g").collect()}
+    assert out["same"]["ks_d"] == 0.0 and out["same"]["drifted"] == 0
+    assert out["shift"]["drifted"] == 1 and out["shift"]["ks_d"] >= 0.35
