@@ -69,3 +69,50 @@ def shard_report(shards: DataFrame, weight_col: str = "n_tokens") -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(weight_col).alias("shard_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-token chunks (the
+    pretraining/RAG chunker): chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens) with stride = chunk_tokens -
+    overlap; every document yields >= 1 chunk.
+
+    100-TB shape: pure map-side — chunk boundaries are computed as a
+    per-row ``transform`` over ``sequence(0, n_chunks-1)`` and
+    exploded; no shuffle. The tokenizer split() re-evaluates once per
+    chunk inside the lambda (Catalyst inlining, see
+    BENCH/NOTES.md's case study) — bounded by ~n/stride chunks per
+    doc, a constant factor, unlike the O(n^2) traps the notes pin.
+    """
+    from ..functions.text import tokens
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.size(F.slice(t, i * stride + 1, chunk_tokens)).alias(
+                "n_chunk_tokens"
+            ),
+            F.concat_ws(" ", F.slice(t, i * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("__c")).select(
+        id_col, "__c.*"
+    )

@@ -399,6 +399,41 @@ SELECT b.doc_id, n_tokens, round(dtf, 6) AS dup_token_frac,
 FROM b JOIN m USING (doc_id) ORDER BY b.doc_id
 """
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping fixed-token chunking (64-token chunks, 16-token
+    overlap) — the pretraining/RAG chunker, pure map-side
+    (operators/packing.py chunk_documents)."""
+    from .operators.packing import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, CHUNK_TOKENS, CHUNK_OVERLAP).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+SQL_CHUNK_DOCS = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, toks, len(toks) AS n,
+        greatest(1, ceil((len(toks) - {CHUNK_OVERLAP})::DOUBLE / {_STRIDE})::BIGINT)
+          AS n_chunks
+      FROM t),
+c AS (SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, toks, n FROM p)
+SELECT doc_id, chunk_id::INTEGER AS chunk_id,
+       len(toks[chunk_id * {_STRIDE} + 1 :
+                least(chunk_id * {_STRIDE} + {CHUNK_TOKENS}, n)])::INTEGER
+         AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * {_STRIDE} + 1 :
+                least(chunk_id * {_STRIDE} + {CHUNK_TOKENS}, n)], ' ')
+         AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 TOKEN_SHARD_BUDGET = 1500
 
 
@@ -1020,6 +1055,7 @@ TEXT_QUERIES = {
     "contamination_check": q_contamination_check,
     "repetition_signals": q_repetition_signals,
     "token_shards": q_token_shards,
+    "chunk_docs": q_chunk_docs,
     "vocab_topk": q_vocab_topk,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "training_shuffle": q_training_shuffle,
@@ -1051,6 +1087,7 @@ TEXT_ORACLES = {
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "token_shards": SQL_TOKEN_SHARDS,
+    "chunk_docs": SQL_CHUNK_DOCS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
     "training_shuffle": SQL_TRAINING_SHUFFLE,
