@@ -25,3 +25,13 @@ from .similarity import (  # noqa: F401
     rp_lsh_candidate_pairs,
 )
 from .thresholds import add_threshold_labels  # noqa: F401
+from .decontaminate import benchmark_shingle_dict, contamination_report  # noqa: F401
+from .packing import (  # noqa: F401
+    bucketed_cumsum,
+    chunk_documents,
+    contiguous_token_shards,
+    shard_report,
+)
+from .quantize import global_scale, quantization_report  # noqa: F401
+from .sampling import shuffle_order  # noqa: F401
+from .vocab import merge_pair_topk, token_stats, vocab_topk  # noqa: F401

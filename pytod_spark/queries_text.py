@@ -434,6 +434,35 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-granularity exact dedup: documents that share only PART
+    of their text (missed by whole-doc sha dedup) surface as
+    duplicated chunks. Composition of chunk_documents with the
+    hash-groupBy dedup plan — one shuffle on the chunk sha."""
+    from .operators.packing import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    c = chunk_documents(d, CHUNK_TOKENS, CHUNK_OVERLAP)
+    return (
+        c.groupBy(F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("chunk_sha")
+    )
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH chunks AS ({SQL_CHUNK_DOCS})
+SELECT sha256(chunk_text) AS chunk_sha, count(*) AS n_copies,
+       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc_id
+FROM chunks GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_sha
+"""
+
+
 TOKEN_SHARD_BUDGET = 1500
 
 
@@ -1056,6 +1085,7 @@ TEXT_QUERIES = {
     "repetition_signals": q_repetition_signals,
     "token_shards": q_token_shards,
     "chunk_docs": q_chunk_docs,
+    "chunk_dedup": q_chunk_dedup,
     "vocab_topk": q_vocab_topk,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "training_shuffle": q_training_shuffle,
@@ -1088,6 +1118,7 @@ TEXT_ORACLES = {
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "token_shards": SQL_TOKEN_SHARDS,
     "chunk_docs": SQL_CHUNK_DOCS,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
     "training_shuffle": SQL_TRAINING_SHUFFLE,
