@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "token_shards",
     "vocab_topk",
     "bpe_merge_candidates",
+    "doc_logprob",
+    "chunk_dedup",
+    "quantize_embeddings",
     "training_mix_report",
     "drift_verdicts",
     "multimodal_metadata",
