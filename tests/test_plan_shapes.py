@@ -239,3 +239,46 @@ def test_doc_logprob_dictionary_is_take_ordered(spark, docs):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
     assert p.count("Exchange SinglePartition") <= 1
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The north rule requires skew handled explicitly: with one hot
+    key carrying 95% of the rows, AQE's skew-join must split the hot
+    partition — the final adaptive plan shows a skew=true sort-merge
+    join. Uses runtime-settable session confs, restored after."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 190_000, F.lit(0))
+            .otherwise((F.col("id") % 99) + 1)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        j = big.join(dim, "k")
+        assert len(j.collect()) == 200_000
+        p = _plan(j)
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
