@@ -282,3 +282,36 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Bucketing is the co-located-join lever at 100 TB: two tables
+    bucketed+sorted on the join key with the same bucket count must
+    sort-merge join with ZERO exchanges in the plan."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("va")
+        )
+        b = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("vb")
+        )
+        a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(
+            "__plan_gate_ta"
+        )
+        b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(
+            "__plan_gate_tb"
+        )
+        j = spark.table("__plan_gate_ta").join(spark.table("__plan_gate_tb"), "k")
+        assert j.count() == 10_000
+        p = _plan(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located: no shuffle either side
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS __plan_gate_ta")
+        spark.sql("DROP TABLE IF EXISTS __plan_gate_tb")
