@@ -41,14 +41,29 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
 
 
 def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
-                partition_by: tuple[str, ...] = ()) -> None:
+                partition_by: tuple[str, ...] = (),
+                bucket_by: tuple[str, ...] = (), n_buckets: int = 0) -> None:
     """Write to a catalog table (``table:``/``iceberg:`` prefix) or a
-    parquet path — the sink mirror of :func:`load_table`."""
+    parquet path — the sink mirror of :func:`load_table`.
+
+    ``bucket_by`` + ``n_buckets`` write a bucketed (and bucket-sorted)
+    catalog table: two tables bucketed on the same key with the same
+    bucket count sort-merge join with ZERO exchanges
+    (tests/test_plan_shapes.py::test_bucketed_tables_join_without_shuffle)
+    — the co-location lever for repeated big-big joins at corpus
+    scale. Bucketing requires a catalog table, not a bare path.
+    """
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    if bucket_by:
+        if n_buckets <= 0:
+            raise ValueError("bucket_by requires n_buckets > 0")
+        w = w.bucketBy(n_buckets, *bucket_by).sortBy(*bucket_by)
     for prefix in ("iceberg:", "table:"):
         if ref.startswith(prefix):
             w.saveAsTable(ref[len(prefix):])
             return
+    if bucket_by:
+        raise ValueError("bucketed writes need a table: / iceberg: ref")
     w.parquet(ref)
