@@ -315,3 +315,15 @@ def test_bucketed_tables_join_without_shuffle(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS __plan_gate_ta")
         spark.sql("DROP TABLE IF EXISTS __plan_gate_tb")
+
+
+def test_partition_pruning_on_partitioned_data(spark, docs, tmp_path_factory):
+    """A filter on the partition column of a Hive-partitioned dataset
+    must prune at planning time: PartitionFilters carries the
+    predicate and the row filter does NOT reappear as a data filter."""
+    out = str(tmp_path_factory.mktemp("pp")) + "/docs"
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).where(F.col("lang") == "en").select("doc_id")
+    p = _plan(df)
+    pf = p.split("PartitionFilters:")[1].splitlines()[0]
+    assert "lang" in pf and "en" in pf
