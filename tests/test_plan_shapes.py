@@ -327,3 +327,19 @@ def test_partition_pruning_on_partitioned_data(spark, docs, tmp_path_factory):
     p = _plan(df)
     pf = p.split("PartitionFilters:")[1].splitlines()[0]
     assert "lang" in pf and "en" in pf
+
+
+def test_no_row_python_anywhere_in_catalogue(spark):
+    """The input hint mandates vectorized pandas/Arrow UDFs with NO
+    per-row Python: every catalogue query's physical plan must be free
+    of BatchEvalPython (row-at-a-time UDF) nodes. Arrow nodes
+    (ArrowEvalPython / *InPandas) are the allowed vectorized path.
+    Plan-only — no jobs beyond what query construction itself runs."""
+    from pytod_spark.queries import QUERIES
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        p = _plan(fn(spark, SF))
+        if "BatchEvalPython" in p:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
