@@ -135,3 +135,31 @@ def test_quality_and_entropy_bounds(spark, docs):
     ).collect()
     assert all(0.0 <= r["q"] <= 1.0 for r in out)
     assert all(r["n"] > 0 for r in out)
+
+
+def test_bucketed_cumsum_matches_numpy(spark):
+    """The bucketed two-pass cumulative sum (the machinery under
+    token shards and shuffle_order) must equal a plain numpy cumsum
+    over random weights, across several seeds and skewed key
+    distributions."""
+    import numpy as np
+
+    from pytod_spark.operators.packing import bucketed_cumsum
+
+    for seed in (0, 7, 99):
+        rng = np.random.default_rng(seed)
+        n = 3000
+        # skewed, duplicate-free order keys; integer weights incl. 0
+        keys = rng.permutation(np.arange(n)) ** 2
+        w = rng.integers(0, 50, size=n)
+        import pandas as pd
+
+        pdf = pd.DataFrame({"k": keys, "w": w})
+        df = spark.createDataFrame(pdf).repartition(8)
+        got = {
+            r["k"]: r["cum"]
+            for r in bucketed_cumsum(df, "k", "w", out="cum").collect()
+        }
+        order = np.argsort(keys)
+        expect = dict(zip(keys[order].tolist(), np.cumsum(w[order]).tolist()))
+        assert got == expect, f"seed {seed}"
