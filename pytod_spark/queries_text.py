@@ -570,30 +570,11 @@ def q_doc_logprob(spark, sf_dir):
     broadcast left join and a per-doc partial-aggregated mean —
     exactly the decontamination plan with logprobs instead of hits.
     """
-    from .operators.vocab import token_stats
+    from .operators.vocab import unigram_logprob
 
     d = load(spark, sf_dir, "documents")
-    st = token_stats(d)
-    tot = st.agg(F.sum("tf").alias("tot"))
-    dic = F.broadcast(
-        st.groupBy("token").agg(F.sum("tf").alias("tf"))
-        .crossJoin(F.broadcast(tot))
-        .withColumn("rnk", F.row_number().over(
-            Window.orderBy(F.col("tf").desc(), F.col("token").asc())))
-        .where(F.col("rnk") <= LM_VOCAB_K)
-        .select("token", F.log(F.col("tf") / F.col("tot")).alias("logp"))
-    )
-    ex = d.select(
-        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
-    ).where(F.col("token") != "")
     return (
-        ex.join(dic, "token", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.coalesce(F.col("logp"), F.lit(LM_OOV_LOGP))), 6)
-            .alias("mean_logprob"),
-        )
+        unigram_logprob(d, k=LM_VOCAB_K, oov_logp=LM_OOV_LOGP)
         .withColumn("low_quality", (F.col("mean_logprob") < -8.0).cast("int"))
         .orderBy("doc_id")
     )

@@ -163,3 +163,23 @@ def test_bucketed_cumsum_matches_numpy(spark):
         order = np.argsort(keys)
         expect = dict(zip(keys[order].tolist(), np.cumsum(w[order]).tolist()))
         assert got == expect, f"seed {seed}"
+
+
+def test_unigram_logprob_oov_floor(spark):
+    """With k=1 only the single most frequent token is in-dictionary;
+    every other token must score exactly the OOV floor."""
+    import math
+
+    from pytod_spark.operators.vocab import unigram_logprob
+
+    rows = [
+        (0, "aa aa aa bb", "en"),   # aa tf=3 -> dictionary; bb OOV
+        (1, "bb cc", "en"),         # fully OOV
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df, k=1, oov_logp=-12.0).collect()}
+    # corpus tf: aa=3, bb=2, cc=1, total=6; dictionary = {aa: ln(3/6)}
+    lp_aa = math.log(3 / 6)
+    assert out[1]["mean_logprob"] == -12.0  # pure OOV doc
+    assert abs(out[0]["mean_logprob"] - round((3 * lp_aa - 12.0) / 4, 6)) < 1e-9
+    assert out[0]["n_tokens"] == 4 and out[1]["n_tokens"] == 2
