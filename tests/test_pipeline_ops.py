@@ -183,3 +183,36 @@ def test_unigram_logprob_oov_floor(spark):
     assert out[1]["mean_logprob"] == -12.0  # pure OOV doc
     assert abs(out[0]["mean_logprob"] - round((3 * lp_aa - 12.0) / 4, 6)) < 1e-9
     assert out[0]["n_tokens"] == 4 and out[1]["n_tokens"] == 2
+
+
+def test_contamination_shingleless_doc_survives(spark):
+    """A training doc with < n tokens has no shingles: explode_outer
+    must keep it alive with n_shingles=0, overlap 0, not contaminated."""
+    from pytod_spark.operators.decontaminate import contamination_report
+
+    train = spark.createDataFrame(
+        [(0, "one two"), (1, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in contamination_report(
+        train, bench, threshold=0.4).collect()}
+    assert out[0]["n_shingles"] == 0 and out[0]["overlap"] == 0.0
+    assert out[0]["contaminated"] == 0
+    assert out[1]["n_shingles"] == 2 and out[1]["n_shared"] == 1
+    assert out[1]["contaminated"] == 1  # 0.5 >= 0.4
+
+
+def test_chunker_short_doc_yields_one_chunk(spark):
+    """Docs shorter than the overlap still yield exactly one chunk
+    covering the whole text."""
+    from pytod_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_id"] == 0
+    assert rows[0]["n_chunk_tokens"] == 3
+    assert rows[0]["chunk_text"] == "a b c"
