@@ -56,6 +56,20 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--group-col", default="lang")
     k.add_argument("--master", default=None)
 
+    c = sub.add_parser("chunk", help="split documents into overlapping fixed-token chunks")
+    c.add_argument("--input", required=True, help="parquet dir or table:<name> with (doc_id, text)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--chunk-tokens", type=int, default=512)
+    c.add_argument("--overlap", type=int, default=64)
+    c.add_argument("--master", default=None)
+
+    x = sub.add_parser("decontaminate", help="drop training docs overlapping a benchmark set")
+    x.add_argument("--train", required=True, help="training corpus (doc_id, text)")
+    x.add_argument("--bench", required=True, help="benchmark/eval set (doc_id, text)")
+    x.add_argument("--out", required=True, help="cleaned corpus output (parquet)")
+    x.add_argument("--threshold", type=float, default=0.05)
+    x.add_argument("--master", default=None)
+
     s = sub.add_parser("sample", help="deterministic hash sample of a table")
     s.add_argument("--input", required=True)
     s.add_argument("--out", required=True)
@@ -90,6 +104,31 @@ def main(argv: list[str] | None = None) -> int:
         )
         cc.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"clustered_docs": spark.read.parquet(args.out).count()}))
+        return 0
+
+    if args.cmd == "chunk":
+        from .operators.packing import chunk_documents
+
+        docs = load_table(spark, args.input)
+        out = chunk_documents(docs, args.chunk_tokens, args.overlap)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"chunks_written": spark.read.parquet(args.out).count()}))
+        return 0
+
+    if args.cmd == "decontaminate":
+        from .operators.decontaminate import contamination_report
+
+        train = load_table(spark, args.train)
+        bench = load_table(spark, args.bench)
+        rep = contamination_report(train, bench, threshold=args.threshold)
+        keep = train.join(
+            rep.where(F_col("contaminated") == 1).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        keep.write.mode("overwrite").parquet(args.out)
+        n_kept = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows_kept": n_kept}))
         return 0
 
     if args.cmd == "drift":
