@@ -56,6 +56,17 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--group-col", default="lang")
     k.add_argument("--master", default=None)
 
+    pp = sub.add_parser("prepare", help="full corpus prep: dedup -> decontaminate -> quality -> sample -> shuffle -> chunk -> shard")
+    pp.add_argument("--input", required=True, help="raw corpus (doc_id, text)")
+    pp.add_argument("--bench", default=None, help="optional benchmark set for decontamination")
+    pp.add_argument("--out", required=True, help="output parquet (chunks with shard_id)")
+    pp.add_argument("--chunk-tokens", type=int, default=512)
+    pp.add_argument("--overlap", type=int, default=64)
+    pp.add_argument("--shard-tokens", type=int, default=100_000)
+    pp.add_argument("--min-quality", type=float, default=0.3)
+    pp.add_argument("--sample-fraction", type=float, default=1.0)
+    pp.add_argument("--master", default=None)
+
     c = sub.add_parser("chunk", help="split documents into overlapping fixed-token chunks")
     c.add_argument("--input", required=True, help="parquet dir or table:<name> with (doc_id, text)")
     c.add_argument("--out", required=True)
@@ -104,6 +115,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         cc.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"clustered_docs": spark.read.parquet(args.out).count()}))
+        return 0
+
+    if args.cmd == "prepare":
+        from .pipeline import PrepareConfig, prepare_corpus
+
+        cfg = PrepareConfig(
+            chunk_tokens=args.chunk_tokens, chunk_overlap=args.overlap,
+            shard_budget_tokens=args.shard_tokens,
+            min_quality=args.min_quality,
+            sample_fraction=args.sample_fraction,
+        )
+        docs = load_table(spark, args.input)
+        bench = load_table(spark, args.bench) if args.bench else None
+        out = prepare_corpus(docs, bench, cfg)
+        out.write.mode("overwrite").parquet(args.out)
+        res = spark.read.parquet(args.out)
+        print(json.dumps({
+            "chunks_written": res.count(),
+            "shards": res.select("shard_id").distinct().count(),
+        }))
         return 0
 
     if args.cmd == "chunk":

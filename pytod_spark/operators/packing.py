@@ -32,15 +32,19 @@ def bucketed_cumsum(
     val_col: str,
     out: str = "cum",
     n_buckets: int = 64,
+    tie_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Inclusive cumulative sum of ``val_col`` in ``order_col`` order
-    with NO single-partition exchange (see module docstring)."""
+    with NO single-partition exchange (see module docstring).
+    ``tie_cols`` break ``order_col`` ties deterministically — required
+    whenever the order key is not unique (buckets and offsets are
+    unaffected; only within-bucket window order uses them)."""
     df = _with_bucket(df, order_col, [], n_buckets)
     cnts = df.groupBy("__bucket").agg(F.sum(val_col).alias("__v"))
     offs = _cum_offsets(cnts, [], [("__v", "__off", None)]).select("__bucket", "__off")
     w = (
         Window.partitionBy("__bucket")
-        .orderBy(order_col)
+        .orderBy(order_col, *tie_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -55,10 +59,12 @@ def contiguous_token_shards(
     budget: int,
     order_col: str = "doc_id",
     weight_col: str = "n_tokens",
+    tie_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Attach ``shard_id`` = floor(cumulative tokens before this doc /
-    budget) in ``order_col`` order."""
-    c = bucketed_cumsum(df, order_col, weight_col, out="__cum")
+    budget) in ``order_col`` order (``tie_cols`` for non-unique
+    keys)."""
+    c = bucketed_cumsum(df, order_col, weight_col, out="__cum", tie_cols=tie_cols)
     shard = F.floor((F.col("__cum") - F.col(weight_col)) / F.lit(budget))
     return c.withColumn("shard_id", shard.cast("long")).drop("__cum")
 
@@ -77,6 +83,7 @@ def chunk_documents(
     overlap: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split each document into overlapping fixed-token chunks (the
     pretraining/RAG chunker): chunk i covers tokens
@@ -113,6 +120,6 @@ def chunk_documents(
             ),
         ),
     )
-    return df.select(F.col(id_col), F.explode(chunks).alias("__c")).select(
-        id_col, "__c.*"
-    )
+    return df.select(
+        F.col(id_col), *keep_cols, F.explode(chunks).alias("__c")
+    ).select(id_col, *keep_cols, "__c.*")

@@ -1,0 +1,93 @@
+"""End-to-end training-corpus preparation: the composition a real
+pipeline runs, built entirely from the verified operators.
+
+    raw docs
+      -> exact dedup        (keep min-doc_id copy)        dedup.py
+      -> decontaminate      (benchmark shingle overlap)   decontaminate.py
+      -> quality filter     (composite score threshold)   functions/text.py
+      -> deterministic sample (md5-prefix rate)           sampling.py
+      -> global shuffle     (keyed-md5 rank)              sampling.py
+      -> chunk              (overlapping fixed-token)     packing.py
+      -> token shards       (contiguous budget fill)      packing.py
+
+Every stage is the same code path the catalogue rows verify against
+DuckDB oracles; this module only composes them. The plan stays
+scale-shaped end to end: two hash shuffles (dedup, contamination
+agg), broadcast joins for the benchmark dictionary and sample
+thresholds, the bucketed two-pass machinery for shuffle + shards, and
+map-side chunking — no collect, no single-partition sort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators.decontaminate import contamination_report
+from .operators.dedup import exact_duplicates
+from .operators.packing import chunk_documents, contiguous_token_shards
+from .operators.sampling import sample_predicate, shuffle_order
+
+
+@dataclass
+class PrepareConfig:
+    contamination_threshold: float = 0.05
+    min_quality: float = 0.3
+    sample_fraction: float = 1.0
+    sample_salt: str = "prep-v1"
+    shuffle_salt: str = "epoch0"
+    chunk_tokens: int = 512
+    chunk_overlap: int = 64
+    shard_budget_tokens: int = 100_000
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    config: PrepareConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Returns the training-ready chunk table:
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text, shuffle_rank,
+    shard_id), deterministic end to end."""
+    cfg = config or PrepareConfig()
+
+    keep_ids = exact_duplicates(docs, id_col=id_col, text_col=text_col).select(
+        F.col("min_doc_id").alias(id_col)
+    )
+    d = docs.join(F.broadcast(keep_ids), id_col, "left_semi")
+
+    if bench is not None:
+        rep = contamination_report(
+            d, bench, id_col=id_col, text_col=text_col,
+            threshold=cfg.contamination_threshold,
+        )
+        bad = rep.where(F.col("contaminated") == 1).select(id_col)
+        d = d.join(bad, id_col, "left_anti")
+
+    d = d.where(T.quality_score(F.col(text_col)) >= cfg.min_quality)
+    if cfg.sample_fraction < 1.0:
+        d = d.where(
+            sample_predicate(F.col(id_col), cfg.sample_fraction, cfg.sample_salt)
+        )
+
+    d = shuffle_order(d, key_col=id_col, salt=cfg.shuffle_salt)
+    chunks = chunk_documents(
+        d.select(id_col, text_col, "shuffle_rank"),
+        cfg.chunk_tokens, cfg.chunk_overlap, id_col=id_col, text_col=text_col,
+        keep_cols=("shuffle_rank",),
+    )
+    # shuffle_rank repeats across a doc's chunks -> chunk_id tiebreak
+    sharded = contiguous_token_shards(
+        chunks, budget=cfg.shard_budget_tokens,
+        order_col="shuffle_rank", weight_col="n_chunk_tokens",
+        tie_cols=("chunk_id",),
+    )
+    return sharded.select(
+        id_col, "chunk_id", "n_chunk_tokens", "chunk_text",
+        "shuffle_rank", "shard_id",
+    )

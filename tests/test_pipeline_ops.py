@@ -216,3 +216,30 @@ def test_chunker_short_doc_yields_one_chunk(spark):
     assert rows[0]["chunk_id"] == 0
     assert rows[0]["n_chunk_tokens"] == 3
     assert rows[0]["chunk_text"] == "a b c"
+
+
+def test_prepare_corpus_end_to_end(spark):
+    """The full composition (dedup -> decontaminate -> quality ->
+    sample -> shuffle -> chunk -> shard) is deterministic, drops the
+    contaminated docs, and packs shards to within one chunk of the
+    budget."""
+    import collections
+
+    from pytod_spark.pipeline import PrepareConfig, prepare_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    cfg = PrepareConfig(chunk_tokens=32, chunk_overlap=8,
+                        shard_budget_tokens=500, min_quality=0.0,
+                        contamination_threshold=0.5)
+    rows = prepare_corpus(train, bench, cfg).collect()
+    assert rows, "pipeline produced no chunks"
+    rows2 = prepare_corpus(train, bench, cfg).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    per = collections.Counter()
+    for r in rows:
+        per[r["shard_id"]] += r["n_chunk_tokens"]
+    assert max(per.values()) <= 500 + 32  # budget + one chunk overshoot
+    # shard ids are contiguous from 0
+    assert sorted(per) == list(range(len(per)))
