@@ -60,6 +60,16 @@ def prepare_corpus(
         F.col("min_doc_id").alias(id_col)
     )
     d = docs.join(F.broadcast(keep_ids), id_col, "left_semi")
+    # the deduped frame feeds 3+ downstream branches (contamination
+    # explode, the anti-join back, the shuffle/chunk trunk) — persist
+    # it so the raw corpus scan + dedup join replay from cache instead
+    # of re-reading the source per branch. Tracked so bench/sessions
+    # can release it (operators/cache.release_all).
+    from pyspark import StorageLevel
+
+    from .operators.cache import track
+
+    d = track(d.persist(StorageLevel.MEMORY_AND_DISK))
 
     if bench is not None:
         rep = contamination_report(
