@@ -4,7 +4,6 @@ DuckDB oracles. Merged into the main catalogue by queries.py."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
