@@ -169,6 +169,48 @@ FROM documents ORDER BY doc_id
 """
 
 
+# k/w sized for this corpus's tiny synthetic vocabulary: short char
+# grams are ubiquitous (k=5/w=4/min 2 matched ~all 124k pairs), so the
+# operating point guarantees a shared run of >= w + k - 1 = 36 chars
+# per fingerprint; 25 pairs at sf0.01 — the same near-dup set scale
+# the MinHash row finds.
+WINNOW_K, WINNOW_W, WINNOW_MIN_SHARED = 25, 12, 3
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing fingerprint overlap (MOSS algorithm,
+    operators/winnow.py): doc pairs sharing >= 3 windowed-min k-gram
+    hashes — each shared fingerprint witnesses a common substring of
+    length >= w + k - 1 chars."""
+    from .operators.winnow import winnow_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return winnow_pairs(
+        d, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_WINNOW_PAIRS = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - {WINNOW_K} + 1, 1) + 1),
+                        i -> {_duck_hash60(f'substr(text, i, {WINNOW_K})')}) AS hs
+  FROM documents),
+fp AS (
+  SELECT DISTINCT doc_id, unnest(
+      list_distinct(list_transform(
+        range(1, greatest(len(hs) - {WINNOW_W} + 1, 1) + 1),
+        p -> list_min(hs[p : least(p + {WINNOW_W} - 1, len(hs))])))) AS fingerprint
+  FROM h),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared FROM pr WHERE n_shared >= {WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
 # ------------------------------------------------------------------- dedup
 
 
@@ -1056,6 +1098,7 @@ TEXT_QUERIES = {
     "token_entropy": q_token_entropy,
     "fingerprint_docs": q_fingerprint_docs,
     "dedup_exact": q_dedup_exact,
+    "winnow_pairs": q_winnow_pairs,
     "dedup_ngram_pairs": q_dedup_ngram_pairs,
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -1089,6 +1132,7 @@ TEXT_ORACLES = {
     "token_entropy": SQL_TOKEN_ENTROPY,
     "fingerprint_docs": SQL_FINGERPRINT_DOCS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "winnow_pairs": SQL_WINNOW_PAIRS,
     "dedup_ngram_pairs": SQL_DEDUP_NGRAM_PAIRS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

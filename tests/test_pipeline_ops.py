@@ -243,3 +243,28 @@ def test_prepare_corpus_end_to_end(spark):
     assert max(per.values()) <= 500 + 32  # budget + one chunk overshoot
     # shard ids are contiguous from 0
     assert sorted(per) == list(range(len(per)))
+
+
+def test_winnow_finds_duplicates_not_distinct_docs(spark):
+    """The MOSS guarantee, lower-bounded: documents sharing a long
+    run (here: exact copies and a copy with a changed tail) must pair;
+    documents with no 36-char common substring must not."""
+    from pytod_spark.operators.winnow import winnow_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill every single morning")
+    other = ("completely different content here about spark shuffles "
+             "partitions exchanges codegen and arrow batch kernels")
+    rows = [
+        (0, base), (1, base),                      # exact copy
+        (2, base[:80] + " with a brand new suffix appended here"),
+        (3, other),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_pairs(d, k=25, w=12, min_shared=3).collect()
+    }
+    assert (0, 1) in got          # exact duplicate
+    assert (0, 2) in got and (1, 2) in got  # shared 80-char prefix
+    assert not any(3 in p for p in got)     # unrelated doc stays out
