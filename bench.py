@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "token_entropy",
     "minhash_pairs",
     "simhash_pairs",
+    "winnow_pairs",
     "cosine_topk",
     "embedding_neardup",
     "embedding_neardup_ann",
