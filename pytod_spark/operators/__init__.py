@@ -35,3 +35,4 @@ from .packing import (  # noqa: F401
 from .quantize import global_scale, quantization_report  # noqa: F401
 from .sampling import shuffle_order  # noqa: F401
 from .vocab import merge_pair_topk, token_stats, vocab_topk  # noqa: F401
+from .winnow import winnow_fingerprints, winnow_pairs  # noqa: F401
