@@ -65,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--shard-tokens", type=int, default=100_000)
     pp.add_argument("--min-quality", type=float, default=0.3)
     pp.add_argument("--sample-fraction", type=float, default=1.0)
+    pp.add_argument("--contamination-threshold", type=float, default=0.05)
     pp.add_argument("--master", default=None)
 
     c = sub.add_parser("chunk", help="split documents into overlapping fixed-token chunks")
@@ -125,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
             shard_budget_tokens=args.shard_tokens,
             min_quality=args.min_quality,
             sample_fraction=args.sample_fraction,
+            contamination_threshold=args.contamination_threshold,
         )
         docs = load_table(spark, args.input)
         bench = load_table(spark, args.bench) if args.bench else None
@@ -147,16 +149,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "decontaminate":
-        from .operators.decontaminate import contamination_report
+        from .operators.decontaminate import drop_contaminated
 
         train = load_table(spark, args.train)
         bench = load_table(spark, args.bench)
-        rep = contamination_report(train, bench, threshold=args.threshold)
-        keep = train.join(
-            rep.where(F_col("contaminated") == 1).select("doc_id"),
-            "doc_id",
-            "left_anti",
-        )
+        keep = drop_contaminated(train, bench, threshold=args.threshold)
         keep.write.mode("overwrite").parquet(args.out)
         n_kept = spark.read.parquet(args.out).count()
         print(json.dumps({"rows_kept": n_kept}))

@@ -35,6 +35,22 @@ def benchmark_shingle_dict(bench: DataFrame, text_col: str = "text",
     )
 
 
+def drop_contaminated(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """The cleaned corpus: ``train`` minus documents whose benchmark
+    shingle overlap reaches ``threshold`` (shared by the CLI
+    decontaminate subcommand and pipeline.prepare_corpus)."""
+    rep = contamination_report(train, bench, id_col, text_col, n, threshold)
+    bad = rep.where(F.col("contaminated") == 1).select(id_col)
+    return train.join(bad, id_col, "left_anti")
+
+
 def contamination_report(
     train: DataFrame,
     bench: DataFrame,

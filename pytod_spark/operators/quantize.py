@@ -56,10 +56,34 @@ def quantization_report(
         / 127,
     )
     f = F.col(vec_col)
-    cos = _dot(f, q) / F.sqrt(_dot(f, f) * _dot(q, q))
-    err = F.array_max(F.zip_with(f, q, lambda x, y: F.abs(x - y)))
-    return scaled.select(
-        id_col,
-        F.round(cos, 6).alias("cos_sim"),
-        F.round(err, 6).alias("max_abs_err"),
+    # q is an expensive per-element transform and Catalyst inlines it
+    # into every higher-order consumer (no CSE across HOFs — the
+    # documented recompute trap): fuse all three q-consuming terms
+    # into ONE zip_with so q evaluates once per row, then reduce the
+    # struct array in a single aggregate pass.
+    z = F.zip_with(
+        f,
+        q,
+        lambda x, y: F.struct(
+            (x * y).alias("fq"), (y * y).alias("qq"), F.abs(x - y).alias("e")
+        ),
     )
+    res = F.aggregate(
+        z,
+        F.struct(
+            F.lit(0.0).alias("fq"), F.lit(0.0).alias("qq"), F.lit(0.0).alias("e")
+        ),
+        lambda a, v: F.struct(
+            (a.fq + v.fq).alias("fq"),
+            (a.qq + v.qq).alias("qq"),
+            F.greatest(a.e, v.e).alias("e"),
+        ),
+        lambda a: F.struct(
+            F.round(a.fq / F.sqrt(_dot(f, f) * a.qq), 6).alias("cos_sim"),
+            F.round(a.e, 6).alias("max_abs_err"),
+        ),
+    )
+    # inline(array(res)) is a Generate barrier: res (and therefore the
+    # whole quantize pass) evaluates exactly once per row — field
+    # references in a plain Project would re-inline it per column.
+    return scaled.select(id_col, F.inline(F.array(res)))

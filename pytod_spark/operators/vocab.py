@@ -85,29 +85,31 @@ def merge_pair_topk(docs: DataFrame, k: int = 20,
 
 
 def unigram_logprob(docs: DataFrame, k: int = 1000, oov_logp: float = -12.0,
-                    id_col: str = "doc_id", text_col: str = "text",
-                    lang_col: str = "lang") -> DataFrame:
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document mean token log-prob under the corpus's own top-k
     unigram distribution (tokens outside the dictionary score
     ``oov_logp``) — the LM-based quality filter. The truncation plans
     as TakeOrderedAndProject; scoring is one exploded pass with a
     broadcast left join (see queries_text.q_doc_logprob for the
     catalogue row + oracle)."""
-    st = token_stats(docs, id_col, text_col, lang_col)
-    tot = st.agg(F.sum("tf").alias("tot"))
-    dic = F.broadcast(
-        st.groupBy("token").agg(F.sum("tf").alias("tf"))
-        .crossJoin(F.broadcast(tot))
-        .withColumn("rnk", F.row_number().over(
-            Window.orderBy(F.col("tf").desc(), F.col("token").asc())))
-        .where(F.col("rnk") <= k)
-        .select("token", F.log(F.col("tf") / F.col("tot")).alias("logp"))
-    )
     from ..functions import text as T
 
     ex = docs.select(
         id_col, F.explode(T.tokens(F.col(text_col))).alias("token")
     ).where(F.col("token") != "")
+    # one word-count aggregation over the exploded tokens (the
+    # per-(lang, token, doc) grouping token_stats does is near-unique
+    # keyed, so its map-side combine collapses almost nothing and the
+    # unused document frequency isn't worth a corpus-scale shuffle)
+    freq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = freq.agg(F.sum("tf").alias("tot"))
+    dic = F.broadcast(
+        freq.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(
+            Window.orderBy(F.col("tf").desc(), F.col("token").asc())))
+        .where(F.col("rnk") <= k)
+        .select("token", F.log(F.col("tf") / F.col("tot")).alias("logp"))
+    )
     return (
         ex.join(dic, "token", "left")
         .groupBy(id_col)

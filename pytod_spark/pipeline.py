@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .operators.decontaminate import contamination_report
+from .operators.decontaminate import drop_contaminated
 from .operators.dedup import exact_duplicates
 from .operators.packing import chunk_documents, contiguous_token_shards
 from .operators.sampling import sample_predicate, shuffle_order
@@ -59,7 +59,10 @@ def prepare_corpus(
     keep_ids = exact_duplicates(docs, id_col=id_col, text_col=text_col).select(
         F.col("min_doc_id").alias(id_col)
     )
-    d = docs.join(F.broadcast(keep_ids), id_col, "left_semi")
+    # plain shuffle semi-join: keep_ids is corpus-sized (one row per
+    # distinct text), so broadcasting it would collect the corpus'
+    # id set to the driver — same choice as q_training_mix_report
+    d = docs.join(keep_ids, id_col, "left_semi")
     # the deduped frame feeds 3+ downstream branches (contamination
     # explode, the anti-join back, the shuffle/chunk trunk) — persist
     # it so the raw corpus scan + dedup join replay from cache instead
@@ -72,12 +75,10 @@ def prepare_corpus(
     d = track(d.persist(StorageLevel.MEMORY_AND_DISK))
 
     if bench is not None:
-        rep = contamination_report(
+        d = drop_contaminated(
             d, bench, id_col=id_col, text_col=text_col,
             threshold=cfg.contamination_threshold,
         )
-        bad = rep.where(F.col("contaminated") == 1).select(id_col)
-        d = d.join(bad, id_col, "left_anti")
 
     d = d.where(T.quality_score(F.col(text_col)) >= cfg.min_quality)
     if cfg.sample_fraction < 1.0:

@@ -44,12 +44,15 @@ def ks_report(
     tot = per_val.groupBy(group_col).agg(
         F.sum("__r").alias("__tr"), F.sum("__c").alias("__tc")
     )
-    f_ref = (F.col("__r_lt") + F.col("__r")) / F.col("__tr")
-    f_cur = (F.col("__c_lt") + F.col("__c")) / F.col("__tc")
+    # try_divide: a one-sided group has __tr or __tc = 0, and ANSI
+    # mode (on in the engine session) makes plain / throw; the NULLs
+    # land in the one_sided branch below
+    f_ref = F.try_divide(F.col("__r_lt") + F.col("__r"), F.col("__tr"))
+    f_cur = F.try_divide(F.col("__c_lt") + F.col("__c"), F.col("__tc"))
     crit = KS_C_ALPHA * F.sqrt(
-        (F.col("__tr") + F.col("__tc")) / (F.col("__tr") * F.col("__tc"))
+        F.try_divide(F.col("__tr") + F.col("__tc"), F.col("__tr") * F.col("__tc"))
     )
-    return (
+    agg = (
         cum.join(F.broadcast(tot), group_col)
         .groupBy(group_col)
         .agg(
@@ -58,5 +61,17 @@ def ks_report(
             F.round(F.max(F.abs(f_ref - f_cur)), 6).alias("ks_d"),
             F.round(F.max(crit), 6).alias("ks_crit"),
         )
-        .withColumn("drifted", (F.col("ks_d") > F.col("ks_crit")).cast("int"))
+    )
+    # a group present in only one snapshot (0/0 ECDF, sqrt(x/0) crit
+    # -> NULLs) IS the strongest drift signal: report D = 1, drifted
+    one_sided = (F.col("n_ref") == 0) | (F.col("n_cur") == 0)
+    return agg.select(
+        group_col,
+        "n_ref",
+        "n_cur",
+        F.when(one_sided, F.lit(1.0)).otherwise(F.col("ks_d")).alias("ks_d"),
+        "ks_crit",
+        F.when(one_sided, F.lit(1))
+        .otherwise((F.col("ks_d") > F.col("ks_crit")).cast("int"))
+        .alias("drifted"),
     )

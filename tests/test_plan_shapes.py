@@ -343,3 +343,14 @@ def test_no_row_python_anywhere_in_catalogue(spark):
         if "BatchEvalPython" in p:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+
+
+def test_quantize_transform_evaluates_once(spark):
+    """The int8 quantize transform must appear exactly once in the
+    executed plan — field references over a plain Project re-inline
+    the aggregate per column (measured 4x before the inline(array())
+    Generate barrier)."""
+    from pytod_spark.queries import QUERIES
+
+    p = _plan(QUERIES["quantize_embeddings"](spark, SF))
+    assert p.count("FLOOR") == 1

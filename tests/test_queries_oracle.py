@@ -25,6 +25,21 @@ FAST = [
     "dedup_exact",
     "multimodal_metadata",
     "drift_verdicts",
+    # round-3 pipeline/validation rows
+    "contamination_check",
+    "repetition_signals",
+    "token_shards",
+    "chunk_docs",
+    "chunk_dedup",
+    "vocab_topk",
+    "bpe_merge_candidates",
+    "training_shuffle",
+    "mix_weights",
+    "doc_logprob",
+    "quantize_embeddings",
+    "winnow_pairs",
+    "psi_events",
+    "ks_events",
 ]
 
 

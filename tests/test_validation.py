@@ -146,3 +146,19 @@ def test_ks_flags_shift_not_identical(spark):
         df, F.col("is_ref"), "value", "g").collect()}
     assert out["same"]["ks_d"] == 0.0 and out["same"]["drifted"] == 0
     assert out["shift"]["drifted"] == 1 and out["shift"]["ks_d"] >= 0.35
+
+
+def test_ks_one_sided_group_is_max_drift(spark):
+    """A group present in only one snapshot must report ks_d=1.0 and
+    drifted=1 (not silent NULLs from the 0/0 ECDF)."""
+    from pyspark.sql import functions as F
+
+    from pytod_spark.validation.ks import ks_report
+
+    rows = [("both", float(i % 20), i % 2 == 0) for i in range(200)] + [
+        ("newgrp", float(i), False) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double, is_ref boolean")
+    out = {r["g"]: r for r in ks_report(df, F.col("is_ref"), "value", "g").collect()}
+    assert out["newgrp"]["ks_d"] == 1.0 and out["newgrp"]["drifted"] == 1
+    assert out["both"]["drifted"] == 0
