@@ -405,6 +405,7 @@ def ivf_fit(
     n_iters: int = 3,
     id_col: str = "row_id",
     features_col: str = "features",
+    unit: DataFrame | None = None,
 ) -> np.ndarray:
     """Distributed spherical-Lloyd fit of the IVF coarse quantizer
     (mirrors oracle.operators.ivf_centroids, which documents the
@@ -414,8 +415,10 @@ def ivf_fit(
     partition, the classic k-means map-side combine), a groupBy(cell)
     merges the partials, and only the (n_clusters x d) model ever
     reaches the driver. Init = unit rows of the n_clusters smallest
-    ids."""
-    u = _unit_frame(df, id_col, features_col)
+    ids. Pass ``unit`` (a ``_unit_frame`` result) to share the
+    persisted normalize pass with the caller (ivf_topk does) instead
+    of building and caching a second identical frame."""
+    u = unit if unit is not None else _unit_frame(df, id_col, features_col)
     first = u.orderBy("__id").limit(n_clusters).collect()
     C = np.array([r["__u"] for r in sorted(first, key=lambda r: r["__id"])])
     dim = C.shape[1]
@@ -487,9 +490,9 @@ def ivf_topk(
     ~linearly with the candidate fraction n_assign*n_probe/C — IVF's
     advantage needs real cluster structure, which production
     embeddings have and random test vectors don't."""
-    if centroids is None:
-        centroids = ivf_fit(df, n_clusters, n_iters, id_col, features_col)
     u = _unit_frame(df, id_col, features_col)
+    if centroids is None:
+        centroids = ivf_fit(df, n_clusters, n_iters, id_col, features_col, unit=u)
     ap = track(
         _assign_probes(u, centroids, max(n_probe, n_assign)).persist()
     )

@@ -4,9 +4,13 @@ pairs.
 
 Upgrades the single min-hash "winnowing-lite" fingerprint
 (functions/text.char_ngram_fingerprint): hash every character k-gram,
-slide a window of w consecutive hashes, keep each window's minimum —
-the selected fingerprint SET is guaranteed to share a member between
-any two documents with a common substring of length >= w + k - 1.
+slide a window of w consecutive hashes, keep each window's minimum.
+Detection guarantee (the MOSS theorem): any common substring of
+length >= w + k - 1 between two documents is guaranteed to produce at
+least one shared fingerprint (no false negatives above that length).
+The converse is weaker: a single shared fingerprint only witnesses a
+common k-gram (>= k chars), which is why callers refine with a
+min_shared threshold.
 
 100-TB shape: the k-gram hashes are computed ONCE per position via
 posexplode (never re-inlined into each of the w window terms — the
@@ -74,8 +78,11 @@ def winnow_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared) — document pairs sharing at least
-    ``min_shared`` winnowed fingerprints (each shared fingerprint
-    witnesses a common substring of length >= w + k - 1)."""
+    ``min_shared`` winnowed fingerprints. Each shared fingerprint
+    witnesses a common k-gram (>= k chars); the w + k - 1 bound is the
+    detection guarantee (any common run that long MUST share a
+    fingerprint), not a per-fingerprint witness length — tune
+    min_shared accordingly."""
     fps = winnow_fingerprints(df, k, w, id_col, text_col)
     a = fps.select(F.col(id_col).alias("doc_a"), "fingerprint")
     b = fps.select(F.col(id_col).alias("doc_b"), "fingerprint")

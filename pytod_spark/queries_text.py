@@ -171,17 +171,18 @@ FROM documents ORDER BY doc_id
 
 # k/w sized for this corpus's tiny synthetic vocabulary: short char
 # grams are ubiquitous (k=5/w=4/min 2 matched ~all 124k pairs), so the
-# operating point guarantees a shared run of >= w + k - 1 = 36 chars
-# per fingerprint; 25 pairs at sf0.01 — the same near-dup set scale
-# the MinHash row finds.
+# operating point detects any common run of >= w + k - 1 = 36 chars
+# (the MOSS no-false-negative guarantee; a single shared fingerprint
+# itself only witnesses a common k=25-gram); 25 pairs at sf0.01 — the
+# same near-dup set scale the MinHash row finds.
 WINNOW_K, WINNOW_W, WINNOW_MIN_SHARED = 25, 12, 3
 
 
 def q_winnow_pairs(spark, sf_dir):
     """Winnowing fingerprint overlap (MOSS algorithm,
     operators/winnow.py): doc pairs sharing >= 3 windowed-min k-gram
-    hashes — each shared fingerprint witnesses a common substring of
-    length >= w + k - 1 chars."""
+    hashes — each shared fingerprint witnesses a common k-gram; runs
+    of >= w + k - 1 chars are guaranteed to be detected."""
     from .operators.winnow import winnow_pairs
 
     d = load(spark, sf_dir, "documents")

@@ -45,8 +45,8 @@ def ks_report(
         F.sum("__r").alias("__tr"), F.sum("__c").alias("__tc")
     )
     # try_divide: a one-sided group has __tr or __tc = 0, and ANSI
-    # mode (on in the engine session) makes plain / throw; the NULLs
-    # land in the one_sided branch below
+    # mode (Spark 4's default; not overridden by session.py) makes
+    # plain / throw; the NULLs land in the one_sided branch below
     f_ref = F.try_divide(F.col("__r_lt") + F.col("__r"), F.col("__tr"))
     f_cur = F.try_divide(F.col("__c_lt") + F.col("__c"), F.col("__tc"))
     crit = KS_C_ALPHA * F.sqrt(

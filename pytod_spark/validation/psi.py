@@ -60,8 +60,13 @@ def psi_report(
     tot = hist.groupBy(group_col).agg(
         F.sum("__r").alias("__tr"), F.sum("__c").alias("__tc")
     )
-    p = F.greatest(F.col("__r") / F.col("__tr"), F.lit(EPS))
-    q = F.greatest(F.col("__c") / F.col("__tc"), F.lit(EPS))
+    # try_divide (mirroring ks.py): a snapshot missing from a group has
+    # __tr or __tc = 0 and ANSI mode — Spark 4's default — makes plain
+    # division throw DIVIDE_BY_ZERO; try_divide yields NULL, which
+    # F.greatest skips, clamping the proportion to EPS deliberately
+    # rather than by accident of non-ANSI semantics.
+    p = F.greatest(F.try_divide(F.col("__r"), F.col("__tr")), F.lit(EPS))
+    q = F.greatest(F.try_divide(F.col("__c"), F.col("__tc")), F.lit(EPS))
     return (
         hist.join(F.broadcast(tot), group_col)
         .groupBy(group_col)
