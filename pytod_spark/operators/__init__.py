@@ -33,6 +33,7 @@ from .packing import (  # noqa: F401
     shard_report,
 )
 from .quantize import global_scale, quantization_report  # noqa: F401
+from .skew import DEFAULT_BUCKET_CAP, capped_self_join_pairs  # noqa: F401
 from .sampling import shuffle_order  # noqa: F401
 from .vocab import merge_pair_topk, token_stats, vocab_topk  # noqa: F401
 from .winnow import winnow_fingerprints, winnow_pairs  # noqa: F401

@@ -102,7 +102,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id"
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    cap: int | None = None,
+    skew_stats: dict | None = None,
 ) -> DataFrame:
     """Band the signature (N_BANDS bands of ROWS_PER_BAND mins); docs
     colliding in any band are candidates. Self-join happens on the
@@ -114,7 +117,15 @@ def lsh_candidate_pairs(
     long instead of a concat string, so the self-join shuffles fixed-
     width keys; baking band_id into the hash keeps bands in disjoint
     buckets (cross-band collisions are 2^-64 and are removed by the
-    exact refine anyway)."""
+    exact refine anyway).
+
+    Hot-bucket cap (operators/skew.py): a band bucket larger than
+    ``cap`` (default skew.DEFAULT_BUCKET_CAP) — e.g. a million-copy
+    boilerplate cluster landing in one band — emits a linear star
+    instead of C(n,2) pairs; connectivity for connected_components is
+    preserved and the cap is logged."""
+    from .skew import DEFAULT_BUCKET_CAP, capped_self_join_pairs
+
     keys = [
         F.xxhash64(
             F.lit(b),
@@ -123,15 +134,13 @@ def lsh_candidate_pairs(
         for b in range(N_BANDS)
     ]
     banded = sigs.select(F.col(id_col), F.explode(F.array(*keys)).alias("band_key"))
-    a = banded.select("band_key", F.col(id_col).alias("doc_a"))
-    b = banded.select(
-        F.col("band_key").alias("band_key_r"), F.col(id_col).alias("doc_b")
-    )
-    return (
-        a.join(b, on=[a["band_key"] == b["band_key_r"], a["doc_a"] < b["doc_b"]])
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return capped_self_join_pairs(
+        banded,
+        ["band_key"],
+        id_col,
+        cap=cap if cap is not None else DEFAULT_BUCKET_CAP,
+        stats=skew_stats,
+    ).distinct()
 
 
 def minhash_dedup_pairs(
@@ -140,6 +149,8 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    cap: int | None = None,
+    skew_stats: dict | None = None,
 ) -> DataFrame:
     """LSH candidates refined by exact shingle Jaccard (filter-and-
     refine, the same two-phase shape as the reference's quantized
@@ -157,7 +168,7 @@ def minhash_dedup_pairs(
 
     sh = track(shingle_df(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK))
     sigs = minhash_signatures(df, id_col, text_col, n, shingled=sh)
-    cands = lsh_candidate_pairs(sigs, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col, cap=cap, skew_stats=skew_stats)
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -197,6 +208,8 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 2,
     group_cols: Iterable[str] = (),
+    cap: int | None = None,
+    skew_stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance within groups.
 
@@ -207,7 +220,13 @@ def simhash_pairs(
     (chunk_id, chunk_value) keys; the join is an equi-join on
     (group, chunk_id, chunk_value) — candidates only, O(collisions)
     instead of O(n^2/groups) — followed by the exact Hamming re-check,
-    which makes the result set identical to the all-pairs plan."""
+    which makes the result set identical to the all-pairs plan
+    whenever no chunk bucket exceeds ``cap`` (hot buckets emit a
+    linear star, operators/skew.py — for SimHash a giant near-dup
+    cluster collides on every chunk, so the star still links the whole
+    cluster and the Hamming recheck keeps its exactness per pair)."""
+    from .skew import DEFAULT_BUCKET_CAP, capped_self_join_pairs
+
     group_cols = list(group_cols)
     sh = simhash16(df, id_col, text_col)
     if group_cols:
@@ -227,30 +246,19 @@ def simhash_pairs(
         "simhash",
         F.posexplode(F.array(*chunks)).alias("chunk_id", "chunk_val"),
     )
-    a = banded.select(
-        *group_cols,
-        "chunk_id",
-        "chunk_val",
-        F.col(id_col).alias("doc_a"),
-        F.col("simhash").alias("ha"),
+    pairs = capped_self_join_pairs(
+        banded,
+        [*group_cols, "chunk_id", "chunk_val"],
+        id_col,
+        cap=cap if cap is not None else DEFAULT_BUCKET_CAP,
+        keep_cols=group_cols,
+        carry_cols=["simhash"],
+        stats=skew_stats,
     )
-    b = banded.select(
-        *[F.col(c).alias(f"__r_{c}") for c in group_cols],
-        F.col("chunk_id").alias("__r_chunk_id"),
-        F.col("chunk_val").alias("__r_chunk_val"),
-        F.col(id_col).alias("doc_b"),
-        F.col("simhash").alias("hb"),
-    )
-    cond = (
-        [a[c] == b[f"__r_{c}"] for c in group_cols]
-        + [a["chunk_id"] == b["__r_chunk_id"], a["chunk_val"] == b["__r_chunk_val"]]
-        + [a["doc_a"] < b["doc_b"]]
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
-        a.join(b, on=cond)
         # a close pair can agree on several chunks -> dedupe candidates
-        .select(*group_cols, "doc_a", "doc_b", "ha", "hb")
+        pairs.select(*group_cols, "doc_a", "doc_b", "simhash_a", "simhash_b")
         .distinct()
         .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
@@ -278,16 +286,30 @@ def connected_components(
     diameter-D component converges in O(log D) rounds instead of O(D)
     — the same round complexity as large-star/small-star (Kiveris et
     al., SoCC'14) with a simpler per-round plan. Convergence is
-    detected with a take(1) probe on changed labels; each round's
-    labels are persisted and the previous round's released. If the
-    loop exhausts ``max_iters`` while labels are still changing the
-    result would be silently wrong (components split across labels),
-    so it raises instead — with pointer jumping max_iters=20 covers
-    diameters up to ~2^20, so hitting this means a pathological input.
+    detected with a take(1) probe on changed labels. Each round's
+    labels are EAGERLY CHECKPOINTED (reliable checkpoint when the
+    session has a checkpoint dir, executor-local otherwise): the
+    pointer-jump self-join references the round's frame twice, so
+    without a lineage cut the logical plan doubles per round and plan
+    canonicalization OOMs the driver by ~round 10 — the standard
+    iterative-algorithm trap persist() does NOT fix (it caches data,
+    not lineage). Production note: set a reliable checkpoint dir
+    (``sc.setCheckpointDir``) on real clusters so a lost executor
+    doesn't kill the run mid-iteration. If the loop exhausts
+    ``max_iters`` while labels are still changing the result would be
+    silently wrong (components split across labels), so it raises
+    instead — with pointer jumping max_iters=20 covers diameters up
+    to ~2^20, so hitting this means a pathological input.
     """
     from pyspark import StorageLevel
 
     from .cache import track
+
+    def _cut_lineage(df: DataFrame) -> DataFrame:
+        try:
+            return df.checkpoint()  # reliable; needs setCheckpointDir
+        except Exception:
+            return df.localCheckpoint()
 
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = track(
@@ -295,10 +317,11 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("lbl")
+    labels = _cut_lineage(
+        edges.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("lbl")
+        )
     )
-    labels = track(labels.persist(StorageLevel.MEMORY_AND_DISK))
     converged = False
     for _ in range(max_iters):
         prop = (
@@ -313,16 +336,16 @@ def connected_components(
         # the min invariant), so the hop stays in-component and only
         # decreases labels — doubling how far a round propagates.
         parent = stepped.select(F.col("node").alias("__pn"), F.col("lbl").alias("__pl"))
-        new_labels = stepped.join(
-            parent, stepped["lbl"] == parent["__pn"], "left"
-        ).select("node", F.least(F.col("lbl"), F.coalesce("__pl", "lbl")).alias("lbl"))
-        new_labels = track(new_labels.persist(StorageLevel.MEMORY_AND_DISK))
+        new_labels = _cut_lineage(
+            stepped.join(parent, stepped["lbl"] == parent["__pn"], "left").select(
+                "node", F.least(F.col("lbl"), F.coalesce("__pl", "lbl")).alias("lbl")
+            )
+        )
         changed = (
             new_labels.join(labels.withColumnRenamed("lbl", "__old"), "node")
             .where(F.col("lbl") < F.col("__old"))
             .take(1)
         )
-        labels.unpersist()
         labels = new_labels
         if not changed:
             converged = True

@@ -179,6 +179,8 @@ def rp_lsh_candidate_pairs(
     features_col: str = "features",
     seed: int = 42,
     n_bands: int = 1,
+    cap: int | None = None,
+    skew_stats: dict | None = None,
 ) -> DataFrame:
     """Candidate pairs from the sign signature.
 
@@ -187,14 +189,19 @@ def rp_lsh_candidate_pairs(
     n_bands chunks; a pair is a candidate when ANY chunk matches, which
     lifts recall from p^R to 1-(1-p^(R/b))^b for bit-agreement
     probability p (standard LSH OR-amplification) while the join stays
-    an equi-join on (band_id, band_key) — never all-pairs."""
+    an equi-join on (band_id, band_key) — never all-pairs.
+
+    Hot-bucket cap (operators/skew.py): a signature bucket larger than
+    ``cap`` — a giant cluster of near-identical embeddings — emits a
+    linear star instead of C(n,2) pairs; the exact-cosine refine
+    downstream keeps per-pair exactness and the cap is logged."""
+    from .skew import DEFAULT_BUCKET_CAP, capped_self_join_pairs
+
+    cap = cap if cap is not None else DEFAULT_BUCKET_CAP
     b = rp_lsh_buckets(df, dim, n_planes, id_col, features_col, seed)
     if n_bands <= 1:
-        a = b.select(F.col("bucket"), F.col(id_col).alias("doc_a"))
-        c = b.select(F.col("bucket").alias("bucket_r"), F.col(id_col).alias("doc_b"))
-        return (
-            a.join(c, on=[a["bucket"] == c["bucket_r"], a["doc_a"] < c["doc_b"]])
-            .select("doc_a", "doc_b")
+        return capped_self_join_pairs(
+            b, ["bucket"], id_col, cap=cap, stats=skew_stats
         )
     base_w, extra = divmod(n_planes, n_bands)
     chunks, start = [], 0
@@ -207,24 +214,9 @@ def rp_lsh_candidate_pairs(
     banded = b.select(
         F.col(id_col), F.posexplode(F.array(*chunks)).alias("band_id", "band_key")
     )
-    a = banded.select("band_id", "band_key", F.col(id_col).alias("doc_a"))
-    c = banded.select(
-        F.col("band_id").alias("band_id_r"),
-        F.col("band_key").alias("band_key_r"),
-        F.col(id_col).alias("doc_b"),
-    )
-    return (
-        a.join(
-            c,
-            on=[
-                a["band_id"] == c["band_id_r"],
-                a["band_key"] == c["band_key_r"],
-                a["doc_a"] < c["doc_b"],
-            ],
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return capped_self_join_pairs(
+        banded, ["band_id", "band_key"], id_col, cap=cap, stats=skew_stats
+    ).distinct()
 
 
 def choose_lsh_params(
@@ -269,6 +261,8 @@ def ann_neardup_pairs(
     id_col: str = "row_id",
     features_col: str = "features",
     seed: int = 42,
+    cap: int | None = None,
+    skew_stats: dict | None = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: banded RP-LSH candidates refined by
     exact cosine — the candidate join replaces the O(n^2) tile sweep of
@@ -285,7 +279,8 @@ def ann_neardup_pairs(
     if n_planes is None or n_bands is None:
         n_planes, n_bands = choose_lsh_params(threshold)
     cands = rp_lsh_candidate_pairs(
-        df, dim, n_planes, id_col, features_col, seed, n_bands
+        df, dim, n_planes, id_col, features_col, seed, n_bands,
+        cap=cap, skew_stats=skew_stats,
     )
     feats = F.col(features_col).cast("array<double>")
     norm = F.sqrt(
@@ -316,6 +311,8 @@ def ann_cosine_topk(
     id_col: str = "row_id",
     features_col: str = "features",
     seed: int = 42,
+    cap: int | None = None,
+    skew_stats: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: banded RP-LSH candidates
     (directed — both orientations of every bucket collision) refined
@@ -324,7 +321,8 @@ def ann_cosine_topk(
     is O(bucket collisions), not O(n^2/B); recall < 1 by LSH design
     (rows with fewer than k candidates return fewer than k rows)."""
     pairs = rp_lsh_candidate_pairs(
-        df, dim, n_planes, id_col, features_col, seed, n_bands
+        df, dim, n_planes, id_col, features_col, seed, n_bands,
+        cap=cap, skew_stats=skew_stats,
     )
     directed = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -76,19 +76,34 @@ def winnow_pairs(
     min_shared: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cap: int | None = None,
+    skew_stats: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared) — document pairs sharing at least
     ``min_shared`` winnowed fingerprints. Each shared fingerprint
     witnesses a common k-gram (>= k chars); the w + k - 1 bound is the
     detection guarantee (any common run that long MUST share a
     fingerprint), not a per-fingerprint witness length — tune
-    min_shared accordingly."""
+    min_shared accordingly.
+
+    Hot-fingerprint cap (operators/skew.py): a fingerprint held by
+    more than ``cap`` documents — a license-header k-gram at corpus
+    scale — emits a linear star instead of C(n,2) pairs; the cap is
+    logged. Star pairs contribute to n_shared only for the bucket-min
+    document, so pairs between two non-minimum members of a capped
+    bucket may undercount n_shared (recover cluster membership with
+    dedup.connected_components, which the star preserves exactly)."""
+    from .skew import DEFAULT_BUCKET_CAP, capped_self_join_pairs
+
     fps = winnow_fingerprints(df, k, w, id_col, text_col)
-    a = fps.select(F.col(id_col).alias("doc_a"), "fingerprint")
-    b = fps.select(F.col(id_col).alias("doc_b"), "fingerprint")
     return (
-        a.join(b, "fingerprint")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        capped_self_join_pairs(
+            fps,
+            ["fingerprint"],
+            id_col,
+            cap=cap if cap is not None else DEFAULT_BUCKET_CAP,
+            stats=skew_stats,
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
