@@ -1093,6 +1093,101 @@ FROM documents ORDER BY doc_id
 """
 
 
+# -------------------------------------------------- prepare_corpus (flagship)
+
+PREP_SAMPLE_FRACTION = 0.5
+
+
+def q_prepare_corpus(spark, sf_dir):
+    """The flagship end-to-end training-corpus pipeline
+    (pipeline.prepare_corpus): exact dedup -> benchmark
+    decontamination (bench = doc_id % 37 == 0, as contamination_check)
+    -> quality filter -> deterministic 50% sample -> global md5
+    shuffle rank -> 64/16 token chunking -> contiguous 1500-token
+    shards. Every stage is an already-oracled operator; this row
+    value-checks their COMPOSITION against the stage oracles chained
+    as CTEs."""
+    from .pipeline import PrepareConfig, prepare_corpus
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    cfg = PrepareConfig(
+        sample_fraction=PREP_SAMPLE_FRACTION,
+        chunk_tokens=CHUNK_TOKENS,
+        chunk_overlap=CHUNK_OVERLAP,
+        shard_budget_tokens=TOKEN_SHARD_BUDGET,
+    )
+    return prepare_corpus(d, bench, cfg).orderBy("doc_id", "chunk_id")
+
+
+def _sql_prepare_corpus() -> str:
+    from .operators.sampling import _threshold_hex
+
+    return f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+d0 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS shingle
+  FROM (SELECT {_DUCK_SHINGLES} AS sh FROM documents WHERE doc_id % 37 = 0)),
+tr AS (SELECT doc_id, text, {_DUCK_SHINGLES} AS sh FROM d0),
+shared AS (
+  SELECT e.doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM tr) e
+  JOIN bench b USING (shingle) GROUP BY 1),
+clean AS (
+  SELECT t.doc_id, t.text FROM tr t LEFT JOIN shared s USING (doc_id)
+  WHERE coalesce(s.c, 0)::DOUBLE / greatest(len(t.sh), 1) < 0.05),
+q AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks,
+         (length(text) - length(regexp_replace(text,
+            '[.,;:!?''"()\\[\\]{{}}\\-]', '', 'g')))::DOUBLE / length(text) AS pr
+  FROM clean),
+quality AS (
+  SELECT doc_id, text, toks FROM q
+  WHERE round(0.4 * least(len(toks) / 100.0, 1.0)
+      + 0.3 * (1.0 - least(pr * 5, 1.0))
+      + 0.3 * least(list_sum(list_transform(toks, x -> CASE WHEN x IN
+          ('the','a','and','of','to','in','is','on','for','with')
+          THEN 1 ELSE 0 END))::DOUBLE / len(toks) * 4, 1.0), 6) >= 0.3),
+sampled AS (
+  SELECT doc_id, text, toks FROM quality
+  WHERE substr(md5(doc_id::VARCHAR || 'prep-v1'), 1, 8)
+        < '{_threshold_hex(PREP_SAMPLE_FRACTION)}'),
+ranked AS (
+  SELECT doc_id, toks,
+         row_number() OVER (ORDER BY
+           ('0x' || substr(md5(doc_id::VARCHAR || 'epoch0'), 1, 15))::BIGINT
+         )::BIGINT AS shuffle_rank
+  FROM sampled),
+p AS (SELECT doc_id, toks, shuffle_rank, len(toks) AS n,
+        greatest(1, ceil((len(toks) - {CHUNK_OVERLAP})::DOUBLE / {_STRIDE})::BIGINT)
+          AS n_chunks
+      FROM ranked),
+c AS (SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, toks, n,
+             shuffle_rank FROM p),
+chunks AS (
+  SELECT doc_id, chunk_id::INTEGER AS chunk_id,
+         len(toks[chunk_id * {_STRIDE} + 1 :
+                  least(chunk_id * {_STRIDE} + {CHUNK_TOKENS}, n)])::INTEGER
+           AS n_chunk_tokens,
+         array_to_string(toks[chunk_id * {_STRIDE} + 1 :
+                  least(chunk_id * {_STRIDE} + {CHUNK_TOKENS}, n)], ' ')
+           AS chunk_text,
+         shuffle_rank
+  FROM c),
+sharded AS (
+  SELECT *, sum(n_chunk_tokens) OVER (ORDER BY shuffle_rank, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM chunks)
+SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text, shuffle_rank,
+       ((cum - n_chunk_tokens) // {TOKEN_SHARD_BUDGET})::BIGINT AS shard_id
+FROM sharded ORDER BY doc_id, chunk_id
+"""
+
+
+SQL_PREPARE_CORPUS = _sql_prepare_corpus()
+
+
 TEXT_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -1125,6 +1220,7 @@ TEXT_QUERIES = {
     "cosine_topk_ann": q_cosine_topk_ann,
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "multimodal_metadata": q_multimodal_metadata,
+    "prepare_corpus": q_prepare_corpus,
 }
 
 TEXT_ORACLES = {
@@ -1158,4 +1254,5 @@ TEXT_ORACLES = {
     "embedding_neardup_ann": SQL_EMBEDDING_NEARDUP_ANN,
     "cosine_topk_ann": SQL_COSINE_TOPK_ANN,
     "multimodal_metadata": SQL_MULTIMODAL_METADATA,
+    "prepare_corpus": SQL_PREPARE_CORPUS,
 }
