@@ -138,10 +138,19 @@ class ValidationSuite:
         ri_keys: Iterable[str] = ("repo", "commit"),
         resume: bool = True,
         partitions: Iterable[str] | None = None,
+        reference: DataFrame | None = None,
+        psi_threshold: float = 0.2,
     ) -> dict:
         """Execute the suite. ``partitions`` optionally names the
         partition values present in ``df`` (skips a discovery scan —
-        on a real lakehouse this comes from catalog metadata)."""
+        on a real lakehouse this comes from catalog metadata).
+        ``reference`` optionally provides a prior snapshot of the same
+        table: when given, a fifth concurrent check computes
+        per-(partition, feature) PSI + two-sample KS between snapshots
+        (validation/psi.py, validation/ks.py), writes the
+        ``dist_drift`` report, and folds a ``dist_pass`` verdict (no
+        feature with PSI > psi_threshold or significant KS D) into
+        ``partition_pass``."""
         t0 = time.time()
         phase_times: dict[str, float] = {}
 
@@ -164,7 +173,7 @@ class ValidationSuite:
         # in-thread summaries keyed by partition value (fresh-full path)
         sums: dict[str, dict] = {
             "n_rows": {}, "dup_keys": {}, "extra_rows": {}, "orphans": {},
-            "outliers": {}, "drift_n": {},
+            "outliers": {}, "drift_n": {}, "psi_max": {}, "dist_drifted": {},
         }
         thr_box: dict[str, float] = {}
 
@@ -296,11 +305,65 @@ class ValidationSuite:
                         sums["outliers"][r[pcol]] = r["o"]
                 keyed.unpersist()
 
+            def _job_dist_drift():
+                if reference is None:
+                    return
+                from .ks import ks_report
+                from .psi import psi_report
+
+                # long format: one row per (partition, feature, value,
+                # side) — stack() is a map-side Generate, no shuffle;
+                # both PSI and KS then pre-aggregate to model-sized
+                # frames (G*B histogram rows / per-distinct-value
+                # counts), nothing row-scale crosses the wire twice
+                stack_expr = "stack({}, {}) as (feature, value)".format(
+                    len(FEATURE_COLS),
+                    ", ".join(
+                        f"'{c}', cast({c} as double)" for c in FEATURE_COLS
+                    ),
+                )
+                ref_feats = derive_features(
+                    reference.where(F.col(pcol).isin(pending))
+                ).select(pcol, *FEATURE_COLS)
+                both = (
+                    ref_feats.withColumn("__is_ref", F.lit(True))
+                    .unionByName(
+                        feats.select(pcol, *FEATURE_COLS).withColumn(
+                            "__is_ref", F.lit(False)
+                        )
+                    )
+                    .selectExpr(pcol, "__is_ref", stack_expr)
+                )
+                psi = psi_report(
+                    both, F.col("__is_ref"), "value", [pcol, "feature"],
+                    threshold=psi_threshold,
+                ).withColumnRenamed("drifted", "psi_drifted")
+                ks = ks_report(
+                    both, F.col("__is_ref"), "value", [pcol, "feature"]
+                ).select(
+                    pcol, "feature", "ks_d", "ks_crit",
+                    F.col("drifted").alias("ks_drifted"),
+                )
+                rep = psi.join(ks, [pcol, "feature"]).persist()
+                self._write_partitioned(
+                    rep, run_dir, "dist_drift", n_values=len(pending)
+                )
+                for r in rep.groupBy(pcol).agg(
+                    F.max("psi").alias("pm"),
+                    F.sum(
+                        F.greatest("psi_drifted", "ks_drifted")
+                    ).alias("nd"),
+                ).collect():
+                    sums["psi_max"][r[pcol]] = float(r["pm"])
+                    sums["dist_drifted"][r[pcol]] = int(r["nd"])
+                rep.unpersist()
+
             jobs = {
                 "stats": _job_stats,
                 "uniqueness": _job_uniqueness,
                 "ri": _job_ri,
                 "drift": _job_drift,
+                "dist_drift": _job_dist_drift,
             }
 
             def _timed(name, fn):
@@ -325,7 +388,8 @@ class ValidationSuite:
                         {
                             "partition": part,
                             "n_rows": sums["n_rows"].get(part, 0),
-                            "checks": ["stats", "uniqueness", "ri", "drift_scores"],
+                            "checks": ["stats", "uniqueness", "ri", "drift_scores"]
+                            + (["dist_drift"] if reference is not None else []),
                             "completed_at": time.time(),
                         },
                         fh,
@@ -347,6 +411,8 @@ class ValidationSuite:
                         / max(1, sums["drift_n"].get(part, 0)),
                         6,
                     ),
+                    "psi_max": float(sums["psi_max"].get(part, 0.0)),
+                    "n_dist_drifted": int(sums["dist_drifted"].get(part, 0)),
                 }
                 for part in all_parts
             ]
@@ -394,6 +460,19 @@ class ValidationSuite:
                         os.path.join(run_dir, "ri_violations")
                     ).groupBy(pcol).count().collect()
                 }
+            dist = {}
+            if os.path.isdir(os.path.join(run_dir, "dist_drift")):
+                dist = {
+                    r[pcol]: r
+                    for r in spark.read.parquet(
+                        os.path.join(run_dir, "dist_drift")
+                    ).groupBy(pcol).agg(
+                        F.max("psi").alias("pm"),
+                        F.sum(
+                            F.greatest("psi_drifted", "ks_drifted")
+                        ).alias("nd"),
+                    ).collect()
+                }
             verdict_rows = [
                 {
                     pcol: part,
@@ -407,6 +486,8 @@ class ValidationSuite:
                         else 0.0,
                         6,
                     ),
+                    "psi_max": float(dist[part]["pm"]) if part in dist else 0.0,
+                    "n_dist_drifted": int(dist[part]["nd"]) if part in dist else 0,
                 }
                 for part in all_parts
             ]
@@ -415,8 +496,12 @@ class ValidationSuite:
             v["uniqueness_pass"] = v["n_dup_keys"] == 0
             v["ri_pass"] = v["n_orphans"] == 0
             v["drift_pass"] = v["outlier_rate"] <= self.max_outlier_rate
+            v["dist_pass"] = v["n_dist_drifted"] == 0
             v["partition_pass"] = (
-                v["uniqueness_pass"] and v["ri_pass"] and v["drift_pass"]
+                v["uniqueness_pass"]
+                and v["ri_pass"]
+                and v["drift_pass"]
+                and v["dist_pass"]
             )
         # the verdict table is a handful of rows — write it from the
         # driver with pyarrow instead of scheduling a Spark job whose
@@ -432,9 +517,12 @@ class ValidationSuite:
                 ("n_extra_rows", pa.int64()),
                 ("n_orphans", pa.int64()),
                 ("outlier_rate", pa.float64()),
+                ("psi_max", pa.float64()),
+                ("n_dist_drifted", pa.int64()),
                 ("uniqueness_pass", pa.bool_()),
                 ("ri_pass", pa.bool_()),
                 ("drift_pass", pa.bool_()),
+                ("dist_pass", pa.bool_()),
                 ("partition_pass", pa.bool_()),
             ]
         )

@@ -29,19 +29,22 @@ def ks_report(
     df: DataFrame,
     is_ref: Column,
     value_col: str = "value",
-    group_col: str = "event_type",
+    group_col: str | list[str] = "event_type",
 ) -> DataFrame:
     """Per-group two-sample KS statistic between the rows where
-    ``is_ref`` is true and the rest, with a 5%-level drift verdict."""
-    per_val = df.groupBy(group_col, value_col).agg(
+    ``is_ref`` is true and the rest, with a 5%-level drift verdict.
+    ``group_col`` may be a list (e.g. [partition, feature] in the
+    validation engine's distribution-drift check)."""
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    per_val = df.groupBy(*group_cols, value_col).agg(
         F.sum(F.when(is_ref, 1).otherwise(0)).alias("__r"),
         F.sum(F.when(is_ref, 0).otherwise(1)).alias("__c"),
     )
     cum = bucketed_cumsums(
         per_val, value_col, {"__r": "__r_lt", "__c": "__c_lt"},
-        part_cols=[group_col],
+        part_cols=group_cols,
     )
-    tot = per_val.groupBy(group_col).agg(
+    tot = per_val.groupBy(*group_cols).agg(
         F.sum("__r").alias("__tr"), F.sum("__c").alias("__tc")
     )
     # try_divide: a one-sided group has __tr or __tc = 0, and ANSI
@@ -53,8 +56,8 @@ def ks_report(
         F.try_divide(F.col("__tr") + F.col("__tc"), F.col("__tr") * F.col("__tc"))
     )
     agg = (
-        cum.join(F.broadcast(tot), group_col)
-        .groupBy(group_col)
+        cum.join(F.broadcast(tot), group_cols)
+        .groupBy(*group_cols)
         .agg(
             F.max("__tr").cast("long").alias("n_ref"),
             F.max("__tc").cast("long").alias("n_cur"),
@@ -66,7 +69,7 @@ def ks_report(
     # -> NULLs) IS the strongest drift signal: report D = 1, drifted
     one_sided = (F.col("n_ref") == 0) | (F.col("n_cur") == 0)
     return agg.select(
-        group_col,
+        *group_cols,
         "n_ref",
         "n_cur",
         F.when(one_sided, F.lit(1.0)).otherwise(F.col("ks_d")).alias("ks_d"),

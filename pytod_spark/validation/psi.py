@@ -31,17 +31,20 @@ def psi_report(
     df: DataFrame,
     is_ref: Column,
     value_col: str = "value",
-    group_col: str = "event_type",
+    group_col: str | list[str] = "event_type",
     n_bins: int = 10,
     threshold: float = 0.2,
 ) -> DataFrame:
     """Per-group PSI of ``value_col`` between the rows where ``is_ref``
-    is true (reference snapshot) and the rest (current snapshot)."""
+    is true (reference snapshot) and the rest (current snapshot).
+    ``group_col`` may be a list (e.g. [partition, feature] in the
+    validation engine's distribution-drift check)."""
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
     ref_val = F.when(is_ref, F.col(value_col))
-    stats = df.groupBy(group_col).agg(
+    stats = df.groupBy(*group_cols).agg(
         F.min(ref_val).alias("__lo"), F.max(ref_val).alias("__hi")
     )
-    binned = df.join(F.broadcast(stats), group_col)
+    binned = df.join(F.broadcast(stats), group_cols)
     width = (F.col("__hi") - F.col("__lo")) / n_bins
     raw_bin = F.floor((F.col(value_col) - F.col("__lo")) / width)
     # degenerate reference (all values equal -> width 0) puts every
@@ -51,13 +54,13 @@ def psi_report(
     ).cast("int")
     hist = (
         binned.withColumn("__bin", bin_id)
-        .groupBy(group_col, "__bin")
+        .groupBy(*group_cols, "__bin")
         .agg(
             F.sum(F.when(is_ref, 1).otherwise(0)).alias("__r"),
             F.sum(F.when(is_ref, 0).otherwise(1)).alias("__c"),
         )
     )
-    tot = hist.groupBy(group_col).agg(
+    tot = hist.groupBy(*group_cols).agg(
         F.sum("__r").alias("__tr"), F.sum("__c").alias("__tc")
     )
     # try_divide (mirroring ks.py): a snapshot missing from a group has
@@ -68,8 +71,8 @@ def psi_report(
     p = F.greatest(F.try_divide(F.col("__r"), F.col("__tr")), F.lit(EPS))
     q = F.greatest(F.try_divide(F.col("__c"), F.col("__tc")), F.lit(EPS))
     return (
-        hist.join(F.broadcast(tot), group_col)
-        .groupBy(group_col)
+        hist.join(F.broadcast(tot), group_cols)
+        .groupBy(*group_cols)
         .agg(
             F.max("__tr").cast("long").alias("n_ref"),
             F.max("__tc").cast("long").alias("n_cur"),

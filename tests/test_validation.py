@@ -107,6 +107,83 @@ def test_resume_skips_completed_partitions(spark, corpus, parent, tmp_path):
     assert uniq_total == expected
 
 
+def test_engine_dist_drift_check_flags_injected_snapshot_shift(
+    spark, corpus, parent, tmp_path
+):
+    """The engine's fifth check (PSI + KS vs a reference snapshot):
+    inject a doubled-content shift into ONE lang of the current
+    snapshot — that lang must fail dist_pass with psi_max > 0.2, every
+    untouched lang must pass with psi_max == 0 (ref == cur there)."""
+    import json
+
+    run_dir = str(tmp_path / "run_dist")
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    shifted = clean.withColumn(
+        "content",
+        F.when(
+            F.col("lang") == "python",
+            F.concat(F.col("content"), F.lit("\n"), F.col("content")),
+        ).otherwise(F.col("content")),
+    )
+    suite = ValidationSuite(contamination=0.1)
+    suite.run(spark, shifted, run_dir, parent=parent, reference=clean)
+
+    verdicts = {
+        r["lang"]: r
+        for r in spark.read.parquet(os.path.join(run_dir, "verdicts")).collect()
+    }
+    assert not verdicts["python"]["dist_pass"]
+    assert verdicts["python"]["psi_max"] > 0.2
+    assert not verdicts["python"]["partition_pass"]
+    for lang, v in verdicts.items():
+        if lang != "python":
+            assert v["dist_pass"], f"{lang} false-positive dist drift"
+            assert v["psi_max"] == 0.0
+
+    # the per-(partition, feature) report is written and partitioned
+    rep = spark.read.parquet(os.path.join(run_dir, "dist_drift"))
+    from pytod_spark.validation.features import FEATURE_COLS
+
+    assert rep.where(F.col("lang") == "python").count() == len(FEATURE_COLS)
+    drifted_feats = {
+        r["feature"]
+        for r in rep.where(
+            (F.col("lang") == "python") & (F.col("psi_drifted") == 1)
+        ).collect()
+    }
+    assert "content_length" in drifted_feats
+
+    # resume marker records the fifth check
+    with open(os.path.join(run_dir, "markers", "python.json")) as fh:
+        assert "dist_drift" in json.load(fh)["checks"]
+
+
+def test_engine_dist_drift_resume_path_rebuilds_from_parquet(
+    spark, corpus, parent, tmp_path
+):
+    """Stage B on a resumed run must rebuild dist verdicts from the
+    persisted dist_drift parquet, not the in-memory shortcut."""
+    run_dir = str(tmp_path / "run_dist_resume")
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    shifted = clean.withColumn(
+        "content",
+        F.when(
+            F.col("lang") == "python",
+            F.concat(F.col("content"), F.lit("\n"), F.col("content")),
+        ).otherwise(F.col("content")),
+    )
+    suite = ValidationSuite(contamination=0.1)
+    suite.run(spark, shifted, run_dir, parent=parent, reference=clean)
+    # second run: nothing pending -> resume path reads dist_drift parquet
+    suite.run(spark, shifted, run_dir, parent=parent, reference=clean)
+    verdicts = {
+        r["lang"]: r
+        for r in spark.read.parquet(os.path.join(run_dir, "verdicts")).collect()
+    }
+    assert not verdicts["python"]["dist_pass"]
+    assert verdicts["python"]["psi_max"] > 0.2
+
+
 def test_psi_detects_shift_and_handles_degenerate_group(spark):
     """PSI flags a shifted snapshot; a constant-value reference group
     (zero bin width) degrades to bin 0 instead of NaN/Inf bins."""
