@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "training_mix_report",
     "drift_verdicts",
     "multimodal_metadata",
+    "prepare_corpus",
 ]
 
 
@@ -125,6 +126,33 @@ def main() -> int:
             if rep == 0:
                 cold = dict(timings)
 
+    recalls: dict[str, float] = {}
+    if not args.suite_only:
+        # measured recall of the approximate similarity paths vs their
+        # exact twins, shipped in the same artifact as the wall times so
+        # the approximation is visible per run (not just in pytest gates)
+        brute = {
+            (r["row_id"], r["nbr_id"])
+            for r in QUERIES["cosine_topk"](spark, sf_dir).collect()
+        }
+        ivf = {
+            (r["row_id"], r["nbr_id"])
+            for r in QUERIES["cosine_topk_ivf"](spark, sf_dir).collect()
+        }
+        recalls["cosine_topk_ivf"] = round(len(brute & ivf) / max(1, len(brute)), 4)
+        exact_nd = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["embedding_neardup"](spark, sf_dir).collect()
+        }
+        ann_nd = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["embedding_neardup_ann"](spark, sf_dir).collect()
+        }
+        recalls["embedding_neardup_ann"] = round(
+            len(exact_nd & ann_nd) / max(1, len(exact_nd)), 4
+        )
+        release_all()
+
     files_per_sec = None
     if not args.skip_suite:
         from pytod_spark.datagen import generate_repo_table, repo_commits_dim
@@ -168,6 +196,7 @@ def main() -> int:
         "sf": sf,
         "cpus": int(cpus),
         "files_per_sec": files_per_sec,
+        "recalls": recalls,
         "suite_rows": args.rows if not args.skip_suite else 0,
         "cold_queries": {k: v for k, v in cold.items()},
         "cold_total_sec": round(sum(cold.values()), 3),

@@ -57,13 +57,18 @@ def _range_join(
         # variant); (2) we take the max ABSOLUTE value, not torch.max —
         # for mostly-negative domains |min| > max and the reference's
         # band underestimates the rounding error.
+        # ONE probe job: max-abs and dim come out of the same aggregate
+        # (array length is data, not schema, for array<double> columns —
+        # so it rides the scan the max already pays for; previously this
+        # was two driver actions / two scans)
         feats = F.col(features_col).cast("array<double>")
-        max_val = float(
-            df.select(
-                F.max(F.greatest(F.abs(F.array_min(feats)), F.abs(F.array_max(feats))))
-            ).first()[0]
-        )
-        dim = len(df.select(features_col).first()[0])
+        probe = df.select(
+            F.max(
+                F.greatest(F.abs(F.array_min(feats)), F.abs(F.array_max(feats)))
+            ).alias("mx"),
+            F.max(F.size(feats)).alias("dim"),
+        ).first()
+        max_val, dim = float(probe["mx"]), int(probe["dim"])
         err = get_bounded_error(
             max_val, dim, machine_eps=float(np.finfo(low_prec_dtype).eps)
         )
