@@ -21,6 +21,26 @@ O(n·B·k) candidate rows for B = ceil(n / block_size) blocks — never
 O(n^2). Blocks are hash-assigned (uniform), AQE handles residual skew,
 and the whole pipeline is expressed on DataFrames so Catalyst prunes
 columns into the exchange.
+
+Exact -> IVF handoff policy (measured: scripts/knn_frontier.py,
+BENCH/knn_frontier.json): tile COMPUTE is quadratic in group size n
+(B^2 tiles of block_size^2 distance pairs) while shuffle grows only
+linearly in B, so past the frontier the exact join is compute-bound at
+~n^2·d/(cluster FLOP/s). On this 32-thread host the fp32+recheck
+kernel sustains ~1M x 20 exact kNN in minutes (see the frontier
+artifact); the crossover rule an engine caller should apply per
+GROUP (groups are independent — only same-group tiles pair):
+
+* n <= ~1M per group — run this exact join (block_size 4096-8192;
+  pick block_size ~ sqrt(n)·64 to keep B in the hundreds and tasks
+  ~1s);
+* n above the frontier, or many groups near it — hand off to
+  ``operators/similarity.ivf_topk`` (equi-join on coarse cells:
+  candidate volume n·(n_assign·n_probe/C)·avg_cell, tunable recall,
+  recall shipped per bench artifact) and keep the exact join for the
+  final verification of flagged rows only;
+* distance-threshold (not top-k) semantics at scale — the banded
+  RP-LSH path (``ann_neardup_pairs``), same handoff reasoning.
 """
 
 from __future__ import annotations
