@@ -26,10 +26,12 @@ Exact -> IVF handoff policy (measured: scripts/knn_frontier.py,
 BENCH/knn_frontier.json): tile COMPUTE is quadratic in group size n
 (B^2 tiles of block_size^2 distance pairs) while shuffle grows only
 linearly in B, so past the frontier the exact join is compute-bound at
-~n^2·d/(cluster FLOP/s). On this 32-thread host the fp32+recheck
-kernel sustains ~1M x 20 exact kNN in minutes (see the frontier
-artifact); the crossover rule an engine caller should apply per
-GROUP (groups are independent — only same-group tiles pair):
+~n^2·d/(cluster FLOP/s). Measured on this 32-thread host
+(BENCH/knn_frontier.json): 250k x 20 in 267s steady, 500k in 435s,
+1M x 20 in 2,202s = 36.7 min — inside the reference's ">1M within an
+hour" GPU claim (README.rst:64) on CPU alone, with exact output. The
+crossover rule an engine caller should apply per GROUP (groups are
+independent — only same-group tiles pair):
 
 * n <= ~1M per group — run this exact join (block_size 4096-8192;
   pick block_size ~ sqrt(n)·64 to keep B in the hundreds and tasks
