@@ -209,6 +209,75 @@ def tile_sides(df, id_col, features_col, group_cols, n_blocks):
     return left, right, left_keys, right_keys
 
 
+#: Default broadcast-side budget for the small-input fast path, in
+#: fp64 feature ELEMENTS (n_rows x dim): 8M elements = 64 MB — the
+#: same order as a comfortable BroadcastExchange build side. At or
+#: under this, the whole feature matrix ships once per executor and
+#: the kNN needs ZERO shuffles; above it, the tile cogroup join runs.
+BROADCAST_MAX_ELEMS = 8 << 20
+
+
+def _broadcast_knn(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    features_col: str,
+    p: float,
+    precision: str,
+    largest: bool,
+) -> DataFrame:
+    """Shuffle-free kNN for inputs whose feature matrix fits a
+    broadcast (the kNN analogue of a broadcast hash join): gather the
+    (id, features) matrix driver-side — the exact data volume a
+    BroadcastExchange build side would gather — broadcast it sorted by
+    id, and let ONE ``mapInPandas`` pass emit each row's final top-k.
+    No cogroup shuffle, no candidate shuffle, no window sort: the
+    per-batch kernel already sees the full right side, so its bottom-k
+    IS the answer. Output contract identical to the tile path:
+    (row_id, nbr_id, dist, rn), rn = 1..k by (dist asc, nbr_id asc)
+    [desc for ``largest``] — the broadcast side is id-sorted and the
+    kernels' stable argsort breaks ties by position = id.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(features_col).cast("array<double>").alias("__feat"),
+    )
+    rows = base.collect()
+    ids = np.fromiter((r["__id"] for r in rows), dtype=np.int64, count=len(rows))
+    M = np.stack([np.asarray(r["__feat"], dtype=np.float64) for r in rows])
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], np.ascontiguousarray(M[order])
+    bc = df.sparkSession.sparkContext.broadcast((ids, M))
+    kk = min(k, len(ids))
+
+    def kernel(it):
+        bids, BM = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = _features_matrix(pdf["__feat"])
+            if largest:
+                if precision == "low":
+                    vals, inds = _lowprec_topk(A, BM, kk, p)
+                else:
+                    vals, inds = _np_topk(_np_cdist(A, BM, p=p), kk)
+            elif precision == "low":
+                vals, inds = _lowprec_bottomk(A, BM, kk, p)
+            else:
+                vals, inds = _np_bottomk(_np_cdist(A, BM, p=p), kk)
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(pdf["__id"].to_numpy(), kk),
+                    "nbr_id": bids[inds.ravel()],
+                    "dist": vals.ravel(),
+                    "rn": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf)),
+                }
+            )
+
+    out = base.mapInPandas(kernel, schema="__id long, nbr_id long, dist double, rn int")
+    return out.withColumnRenamed("__id", id_col)
+
+
 def knn_join(
     df: DataFrame,
     k: int,
@@ -220,6 +289,7 @@ def knn_join(
     n_rows: int | None = None,
     precision: str = "high",
     largest: bool = False,
+    broadcast_elems: int = BROADCAST_MAX_ELEMS,
 ) -> DataFrame:
     """Self kNN join: for every row, its k nearest rows (self included,
     occupying the distance-0 slot, as in pytod knn.py:100-108).
@@ -230,9 +300,18 @@ def knn_join(
     basic_operators.py:54-75/:140-182), the k FARTHEST rows ordered by
     (dist desc, nbr_id asc); each tile then keeps its per-row partial
     top-k, same shuffle math.
+
+    Small ungrouped inputs (n x dim <= ``broadcast_elems`` fp64
+    elements; 0 disables) take the shuffle-free broadcast path
+    (``_broadcast_knn``) — same exact output, no exchanges.
     """
     group_cols = list(group_cols)
     n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
+    if not group_cols and broadcast_elems and 0 < n <= broadcast_elems:
+        head = df.select(features_col).head(1)
+        dim = len(head[0][0]) if head and head[0][0] is not None else None
+        if dim and n * dim <= broadcast_elems:
+            return _broadcast_knn(df, k, id_col, features_col, p, precision, largest)
     n_blocks = max(1, math.ceil(n / block_size))
 
     # left row of block i joins every tile (i, *); right row of block j

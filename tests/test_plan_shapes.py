@@ -104,10 +104,28 @@ def test_knn_candidates_bounded_by_k(spark, embs):
     <= n * n_blocks * (k+1) = 12,000, not 250,000."""
     from pytod_spark.operators.block_knn import knn_join, tile_sides  # noqa: F401
 
-    pairs = knn_join(embs, 6, block_size=128)
+    pairs = knn_join(embs, 6, block_size=128, broadcast_elems=0)
     # count the pre-window candidate frame by disabling the final filter
     n_cand = pairs.count()  # post-window: exactly n * k
     assert n_cand == 500 * 6
+
+
+def test_small_input_knn_is_shuffle_free(spark, embs):
+    """Inputs whose feature matrix fits the broadcast budget take the
+    zero-exchange path: scan -> mapInPandas against the broadcast
+    matrix, no cogroup shuffle, no candidate shuffle, no window sort —
+    and the output equals the tile path's exactly (pairs AND order)."""
+    from pytod_spark.operators.block_knn import knn_join
+
+    fast = knn_join(embs, 6, block_size=128)  # auto: 500 x 16 << budget
+    assert "Exchange" not in _plan(fast)
+    tile = knn_join(embs, 6, block_size=128, broadcast_elems=0)
+    # 6-dp rounding: BLAS summation order differs between the full
+    # broadcast matrix and tile sub-matrices at the ~1e-8 level (the
+    # catalogue rounds to 4 dp; both paths agree there with margin)
+    f = {(r.row_id, r.nbr_id, r.rn, round(r.dist, 6)) for r in fast.collect()}
+    t = {(r.row_id, r.nbr_id, r.rn, round(r.dist, 6)) for r in tile.collect()}
+    assert f == t
 
 
 def test_contamination_benchmark_side_broadcasts(spark, docs):
