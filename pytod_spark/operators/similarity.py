@@ -397,6 +397,23 @@ def _assign_probes(u: DataFrame, centroids: np.ndarray, n_probe: int) -> DataFra
     return u.mapInPandas(kernel, schema="__id long, probes array<int>")
 
 
+def _local_lloyd(U: np.ndarray, n_clusters: int, n_iters: int) -> np.ndarray:
+    """Driver-side spherical Lloyd on an id-sorted UNIT matrix — the
+    same loop as oracle.operators.ivf_centroids (minus its
+    re-normalization of already-unit rows)."""
+    C = U[:n_clusters].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(U @ C.T, axis=1)  # ties -> lowest cell
+        for j in range(n_clusters):
+            members = U[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[j] = m / nm
+    return C
+
+
 def ivf_fit(
     df: DataFrame,
     n_clusters: int = 8,
@@ -404,6 +421,7 @@ def ivf_fit(
     id_col: str = "row_id",
     features_col: str = "features",
     unit: DataFrame | None = None,
+    broadcast_elems: int = 8 << 20,
 ) -> np.ndarray:
     """Distributed spherical-Lloyd fit of the IVF coarse quantizer
     (mirrors oracle.operators.ivf_centroids, which documents the
@@ -415,8 +433,30 @@ def ivf_fit(
     reaches the driver. Init = unit rows of the n_clusters smallest
     ids. Pass ``unit`` (a ``_unit_frame`` result) to share the
     persisted normalize pass with the caller (ivf_topk does) instead
-    of building and caching a second identical frame."""
+    of building and caching a second identical frame.
+
+    Small inputs (n x dim <= ``broadcast_elems`` fp64 elements — the
+    same 64 MB budget as the kNN broadcast path; 0 disables) fit
+    driver-side: one collect + numpy Lloyd (``_local_lloyd``) instead
+    of one Spark job per iteration, whose scheduling overhead dwarfs
+    the matmul at that size. At 100-TB scale this is also the
+    sampled-fit posture: coarse quantizers are fit on a bounded
+    sample (``df.sample(...)`` upstream), never the full corpus, so
+    the fit input is SUPPOSED to fit a driver collect."""
     u = unit if unit is not None else _unit_frame(df, id_col, features_col)
+    if broadcast_elems:
+        n = estimate_rows(df) or df.count()
+        if 0 < n <= broadcast_elems:
+            head = df.select(features_col).head(1)
+            dim = len(head[0][0]) if head and head[0][0] is not None else None
+            if dim and n * dim <= broadcast_elems:
+                rows = u.collect()
+                ids = np.fromiter(
+                    (r["__id"] for r in rows), dtype=np.int64, count=len(rows)
+                )
+                U = np.stack([np.asarray(r["__u"], dtype=np.float64) for r in rows])
+                order = np.argsort(ids, kind="stable")
+                return _local_lloyd(np.ascontiguousarray(U[order]), n_clusters, n_iters)
     first = u.orderBy("__id").limit(n_clusters).collect()
     C = np.array([r["__u"] for r in sorted(first, key=lambda r: r["__id"])])
     dim = C.shape[1]
