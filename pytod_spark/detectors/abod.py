@@ -61,7 +61,7 @@ class ABOD(SparkDetector):
         contamination: float = 0.1,
         n_neighbors: int = 5,
         batch_size: int | None = None,
-        strategy: str = "distributed",
+        strategy: str = "auto",
     ):
         super().__init__(contamination, strategy)
         self.n_neighbors = n_neighbors

@@ -7,13 +7,24 @@ DataFrame-out: ``fit_df`` returns the input keys plus
 fit-time-only (``decision_function`` is a stub in every model,
 knn.py:117-135 etc.), so transductive scoring is the whole contract.
 
-Two physical strategies per detector:
+Three physical strategies per detector:
 
-* ``strategy='distributed'`` (default) — joins/windows/aggregations +
-  tile kernels; survives groups that do not fit on one executor.
+* ``strategy='distributed'`` — joins/windows/aggregations + tile
+  kernels; survives groups that do not fit on one executor.
 * ``strategy='kernel'`` — one Arrow kernel per group running the numpy
   oracle directly; the parity-scale path (a group == one pytod matrix)
   and the cross-check for the distributed plans.
+* ``strategy='auto'`` (default) — the same budget dispatch as
+  ``knn_join``'s broadcast fast path / ``ivf_fit``'s driver-local
+  Lloyd: an ungrouped input whose feature matrix fits the broadcast
+  budget (``operators.block_knn.BROADCAST_MAX_ELEMS`` fp64 elements,
+  64 MB) takes the kernel path — at that size per-job scheduling
+  overhead dwarfs the arithmetic, and the whole matrix is one Arrow
+  batch. Anything larger, and every grouped input (per-group sizes
+  are unknowable without an extra count job), runs the distributed
+  plan. Both strategies are score-parity-tested against the numpy
+  oracles (tests/test_detector_parity.py), so the dispatch never
+  changes results, only the physical plan.
 """
 
 from __future__ import annotations
@@ -67,10 +78,14 @@ class SparkDetector:
     """Shared surface: ``score_df`` (raw scores) + ``fit_df`` (scores
     with threshold/labels, base.py:414-435 parity)."""
 
-    def __init__(self, contamination: float = 0.1, strategy: str = "distributed"):
+    def __init__(self, contamination: float = 0.1, strategy: str = "auto"):
         if not 0.0 < contamination <= 0.5:
             # parity: pytod/models/base.py:71-74 raises on bad contamination
             raise ValueError(f"contamination must be in (0, 0.5], got {contamination}")
+        if strategy not in ("auto", "distributed", "kernel"):
+            raise ValueError(
+                f"strategy must be 'auto', 'distributed' or 'kernel', got {strategy!r}"
+            )
         self.contamination = contamination
         self.strategy = strategy
 
@@ -87,6 +102,23 @@ class SparkDetector:
     def _kernel_fn(self):
         raise NotImplementedError
 
+    def _resolve_strategy(self, df, features_col, group_cols, n_rows) -> str:
+        """Budget dispatch for ``strategy='auto'`` (module docstring):
+        kernel for ungrouped inputs whose n x dim fits
+        BROADCAST_MAX_ELEMS fp64 elements, distributed otherwise."""
+        from ..operators.block_knn import BROADCAST_MAX_ELEMS, estimate_rows
+
+        if group_cols:
+            return "distributed"
+        n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
+        if not 0 < n <= BROADCAST_MAX_ELEMS:
+            return "distributed"
+        head = df.select(features_col).head(1)
+        dim = len(head[0][0]) if head and head[0][0] is not None else None
+        if dim and n * dim <= BROADCAST_MAX_ELEMS:
+            return "kernel"
+        return "distributed"
+
     def score_df(
         self,
         df: DataFrame,
@@ -100,7 +132,10 @@ class SparkDetector:
         (free for map-side plans, an id-join otherwise)."""
         group_cols = list(group_cols)
         keep_cols = list(keep_cols)
-        if self.strategy == "kernel":
+        strategy = self.strategy
+        if strategy == "auto":
+            strategy = self._resolve_strategy(df, features_col, group_cols, n_rows)
+        if strategy == "kernel":
             scores = grouped_kernel_scores(
                 df, self._kernel_fn(), id_col, features_col, group_cols
             )

@@ -38,7 +38,7 @@ from .base import SparkDetector
 
 
 class ECOD(SparkDetector):
-    def __init__(self, contamination: float = 0.1, strategy: str = "distributed"):
+    def __init__(self, contamination: float = 0.1, strategy: str = "auto"):
         super().__init__(contamination, strategy)
 
     def _distributed_scores(self, df, id_col, features_col, group_cols, n_rows):

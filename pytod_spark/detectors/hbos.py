@@ -47,7 +47,7 @@ class HBOS(SparkDetector):
         contamination: float = 0.1,
         n_bins: int = 10,
         alpha: float = 0.1,
-        strategy: str = "distributed",
+        strategy: str = "auto",
         n_cells_hint: int | None = None,
     ):
         super().__init__(contamination, strategy)

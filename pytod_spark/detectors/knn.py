@@ -20,7 +20,7 @@ class KNN(SparkDetector):
         contamination: float = 0.1,
         n_neighbors: int = 5,
         batch_size: int | None = None,
-        strategy: str = "distributed",
+        strategy: str = "auto",
         precision: str = "high",
     ):
         super().__init__(contamination, strategy)

@@ -25,7 +25,7 @@ class LOF(SparkDetector):
         contamination: float = 0.1,
         n_neighbors: int = 5,
         batch_size: int | None = None,
-        strategy: str = "distributed",
+        strategy: str = "auto",
     ):
         super().__init__(contamination, strategy)
         self.n_neighbors = n_neighbors

@@ -70,7 +70,7 @@ def _fit_pca_model(df, features_col: str, n_components: int):
 
 class PCA(SparkDetector):
     def __init__(
-        self, contamination: float = 0.1, n_components: int = 5, strategy: str = "distributed"
+        self, contamination: float = 0.1, n_components: int = 5, strategy: str = "auto"
     ):
         super().__init__(contamination, strategy)
         self.n_components = n_components

@@ -86,6 +86,28 @@ def test_contamination_bounds():
         KNN(contamination=0.0)
     with pytest.raises(ValueError):
         KNN(contamination=0.51)
+    with pytest.raises(ValueError):
+        KNN(strategy="bogus")
+
+
+def test_auto_strategy_dispatch(spark, f1_df, f1_fixture):
+    """strategy='auto' (the default) budget dispatch: small ungrouped
+    input -> kernel; above-budget or grouped -> distributed. Scores on
+    the auto path must still match the oracle (it IS one of the two
+    parity-tested plans)."""
+    X, _ = f1_fixture
+    det = ECOD()  # default auto
+    assert det.strategy == "auto"
+    # 200 x 2 fits the 8M-element budget -> kernel
+    assert det._resolve_strategy(f1_df, "features", [], None) == "kernel"
+    # grouped -> distributed without a count job
+    assert det._resolve_strategy(f1_df, "features", ["lang"], None) == "distributed"
+    # caller-declared row count above the budget -> distributed
+    assert det._resolve_strategy(f1_df, "features", [], 10**9) == "distributed"
+    got = _collect_scores(det.score_df(f1_df))
+    expected = ecod_scores(X)
+    actual = np.array([got[i] for i in range(len(expected))])
+    np.testing.assert_allclose(actual, expected, rtol=1e-9, atol=1e-9)
 
 
 def test_get_set_params_repr():
