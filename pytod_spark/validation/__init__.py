@@ -1,2 +1,7 @@
 from .engine import ValidationSuite  # noqa: F401
 from .features import derive_features  # noqa: F401
+from .schema import (  # noqa: F401
+    CORPUS_CONTRACT,
+    SchemaContractError,
+    schema_violations,
+)

@@ -3,6 +3,8 @@
 Composes, over an input corpus table (repo, path, commit, lang,
 content):
 
+  schema gate (driver-side metadata, zero jobs — validation/schema.py):
+    contract columns present with contract types, else fail fast
   stage A (resumable per partition, idempotent writes):
     features -> per-partition column stats -> uniqueness violations ->
     referential-integrity violations -> drift scores (pytod-parity
@@ -75,7 +77,17 @@ class ValidationSuite:
         contamination: float = 0.1,
         max_outlier_rate: float | None = None,
         n_salt: int = 16,
+        schema_contract: dict | None = None,
     ):
+        # None -> derive the contract from key/partition columns +
+        # content (all strings per the corpus table shape); pass {} to
+        # disable the gate, or a full {col: simpleString} mapping.
+        if schema_contract is None:
+            schema_contract = {
+                c: "string"
+                for c in (*key_cols, partition_col, "content")
+            }
+        self.schema_contract = schema_contract
         self.key_cols = list(key_cols)
         self.partition_col = partition_col
         self.detector = detector
@@ -157,6 +169,15 @@ class ValidationSuite:
         def _mark(label, start):
             phase_times[label] = round(time.time() - start, 2)
             return time.time()
+
+        # schema gate: driver-side metadata only (no job) — fail before
+        # touching data when the input can't satisfy the checks below
+        if self.schema_contract:
+            from .schema import SchemaContractError, schema_violations
+
+            sviol = schema_violations(df, contract=self.schema_contract)
+            if sviol:
+                raise SchemaContractError(sviol)
 
         os.makedirs(os.path.join(run_dir, "markers"), exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -540,6 +561,7 @@ class ValidationSuite:
         elapsed = time.time() - t0
         total_rows = sum(v["n_rows"] for v in verdict_rows)
         metrics = {
+            "schema_ok": True,  # gate raised above otherwise
             "elapsed_sec": elapsed,
             "partitions_total": len(all_parts),
             "partitions_resumed_skip": len(done),

@@ -239,3 +239,33 @@ def test_ks_one_sided_group_is_max_drift(spark):
     out = {r["g"]: r for r in ks_report(df, F.col("is_ref"), "value", "g").collect()}
     assert out["newgrp"]["ks_d"] == 1.0 and out["newgrp"]["drifted"] == 1
     assert out["both"]["drifted"] == 0
+
+
+def test_schema_contract_gate(spark, corpus, tmp_path):
+    """The engine's zero-job schema gate: missing / mistyped contract
+    columns fail before any data is read; extra columns are fine
+    (non-strict); strict mode flags them."""
+    from pytod_spark.validation import SchemaContractError, schema_violations
+
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    assert schema_violations(clean) == []
+    # extra (label) columns don't violate the default contract
+    assert schema_violations(corpus) == []
+    extras = {v["column"] for v in schema_violations(corpus, strict=True)}
+    assert {"is_anomaly", "is_orphan"} <= extras
+
+    missing = schema_violations(clean.drop("commit"))
+    assert missing == [{"column": "commit", "violation": "missing",
+                        "expected": "string", "actual": None}]
+    mistyped = schema_violations(
+        clean.withColumn("content", F.length("content")))
+    assert mistyped[0]["violation"] == "type_mismatch"
+    assert mistyped[0]["actual"] == "int"
+
+    suite = ValidationSuite(contamination=0.1)
+    with pytest.raises(SchemaContractError, match="commit: missing"):
+        suite.run(spark, clean.drop("commit"), str(tmp_path / "run"))
+    # no run artifacts were produced by the failed gate
+    assert not os.path.isdir(str(tmp_path / "run" / "markers"))
+    # gate can be disabled explicitly
+    assert ValidationSuite(schema_contract={}).schema_contract == {}
