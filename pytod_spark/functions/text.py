@@ -168,3 +168,31 @@ def quality_score(col: Column) -> Column:
     punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
     stop_term = F.least(stopword_ratio(col, "en") * 4, F.lit(1.0))
     return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 6)
+
+
+# PII redaction patterns — simple character-class regexes chosen to
+# parse identically under Java regex (Spark) and RE2 (DuckDB): no
+# lookaround, no backreferences. Order matters: emails are redacted
+# before IPs/hex runs so their digit substrings can't be re-matched.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("hex_secret", r"\b[0-9a-fA-F]{32,}\b", "<HEX>"),
+)
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    """Number of non-overlapping matches of one PII pattern."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII_PATTERNS match with its placeholder token —
+    the classic pre-training scrub stage. A chained regexp_replace:
+    one projection, stays in whole-stage codegen, and the DuckDB
+    oracle mirrors it with regexp_replace(..., 'g'). Idempotent (the
+    placeholder tokens match none of the patterns)."""
+    out = col
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out

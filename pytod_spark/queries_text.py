@@ -1188,7 +1188,67 @@ FROM sharded ORDER BY doc_id, chunk_id
 SQL_PREPARE_CORPUS = _sql_prepare_corpus()
 
 
+def q_redact_docs(spark, sf_dir):
+    """PII scrub (emails / IPv4s / >=32-char hex secrets -> placeholder
+    tokens) — the classic pre-training redaction stage, one chained
+    regexp_replace projection (functions/text.py PII_PATTERNS).
+
+    The synthetic corpus contains no digits by construction, so the
+    row plants deterministic PII per document INSIDE the query (both
+    engines compute the identical plant from doc_id) — the
+    driver compare then genuinely exercises cross-engine regex parity
+    (match counts + sha256 of the redacted text), not 500 no-op rows.
+    """
+    from .functions.text import PII_PATTERNS, pii_count, redact_pii
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), did,
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 key "),
+            F.md5(did),
+        ).alias("text"),
+    )
+    counts = [
+        pii_count(F.col("text"), pat).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return planted.select(
+        "doc_id",
+        *counts,
+        F.sha2(redact_pii(F.col("text")), 256).alias("redacted_sha"),
+    ).orderBy("doc_id")
+
+
+def _sql_redact_docs() -> str:
+    from .functions.text import PII_PATTERNS
+
+    plant = (
+        "text || ' contact user' || doc_id || '@example.com from 10.0.' "
+        "|| (doc_id % 256) || '.7 key ' || md5(doc_id::VARCHAR)"
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::INT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, token in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    return (
+        f"WITH p AS (SELECT doc_id, {plant} AS text FROM documents) "
+        f"SELECT doc_id, {counts}, sha256({redacted}) AS redacted_sha "
+        "FROM p ORDER BY doc_id"
+    )
+
+
+SQL_REDACT_DOCS = _sql_redact_docs()
+
+
 TEXT_QUERIES = {
+    "redact_docs": q_redact_docs,
     "text_features": q_text_features,
     "lang_id": q_lang_id,
     "token_entropy": q_token_entropy,
@@ -1224,6 +1284,7 @@ TEXT_QUERIES = {
 }
 
 TEXT_ORACLES = {
+    "redact_docs": SQL_REDACT_DOCS,
     "text_features": SQL_TEXT_FEATURES,
     "lang_id": SQL_LANG_ID,
     "token_entropy": SQL_TOKEN_ENTROPY,

@@ -268,3 +268,35 @@ def test_winnow_finds_duplicates_not_distinct_docs(spark):
     assert (0, 1) in got          # exact duplicate
     assert (0, 2) in got and (1, 2) in got  # shared 80-char prefix
     assert not any(3 in p for p in got)     # unrelated doc stays out
+
+
+def test_redact_pii(spark):
+    """Each PII pattern redacts, order prevents digit re-matching, and
+    the scrub is idempotent (placeholders match no pattern)."""
+    from pytod_spark.functions.text import pii_count, redact_pii
+
+    rows = [
+        (0, "mail a.b+c%d@sub.example.org end"),
+        (1, "ips 10.0.3.7 and 192.168.255.1 ok"),
+        (2, "key deadbeefdeadbeefdeadbeefdeadbeef done"),
+        (3, "all u7@ex.co 1.2.3.4 " + "a1" * 16),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            redact_pii(F.col("t")).alias("red"),
+            pii_count(F.col("t"), r"\b(?:\d{1,3}\.){3}\d{1,3}\b").alias("n_ip"),
+        ).collect()
+    }
+    assert out[0]["red"] == "mail <EMAIL> end"
+    assert out[1]["red"] == "ips <IP> and <IP> ok"
+    assert out[1]["n_ip"] == 2
+    assert out[2]["red"] == "key <HEX> done"
+    assert out[3]["red"] == "all <EMAIL> <IP> <HEX>"
+    assert out[4]["red"] == rows[4][1]
+    # idempotent: redacting the redacted text is a no-op
+    twice = df.select(redact_pii(redact_pii(F.col("t"))).alias("red")).collect()
+    assert [r["red"] for r in twice] == [out[i]["red"] for i in range(5)]
