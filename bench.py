@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ri_lineitem_orders",
     "text_features",
     "token_entropy",
+    "redact_docs",
     "minhash_pairs",
     "simhash_pairs",
     "winnow_pairs",

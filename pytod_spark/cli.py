@@ -66,6 +66,8 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--min-quality", type=float, default=0.3)
     pp.add_argument("--sample-fraction", type=float, default=1.0)
     pp.add_argument("--contamination-threshold", type=float, default=0.05)
+    pp.add_argument("--redact", action="store_true",
+                    help="scrub PII (emails/IPs/hex secrets) before chunking")
     pp.add_argument("--master", default=None)
 
     c = sub.add_parser("chunk", help="split documents into overlapping fixed-token chunks")
@@ -127,6 +129,7 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             sample_fraction=args.sample_fraction,
             contamination_threshold=args.contamination_threshold,
+            redact=args.redact,
         )
         docs = load_table(spark, args.input)
         bench = load_table(spark, args.bench) if args.bench else None

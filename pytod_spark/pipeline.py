@@ -42,6 +42,9 @@ class PrepareConfig:
     chunk_tokens: int = 512
     chunk_overlap: int = 64
     shard_budget_tokens: int = 100_000
+    # scrub PII (functions/text.redact_pii) before chunking; off by
+    # default so the catalogue row's oracle stays byte-stable
+    redact: bool = False
 
 
 def prepare_corpus(
@@ -81,6 +84,11 @@ def prepare_corpus(
         )
 
     d = d.where(T.quality_score(F.col(text_col)) >= cfg.min_quality)
+    if cfg.redact:
+        # after the quality gate (scores judge the original text),
+        # before sampling/chunking so no raw PII reaches the shards —
+        # a map-side projection, no new shuffle
+        d = d.withColumn(text_col, T.redact_pii(F.col(text_col)))
     if cfg.sample_fraction < 1.0:
         d = d.where(
             sample_predicate(F.col(id_col), cfg.sample_fraction, cfg.sample_salt)

@@ -245,6 +245,40 @@ def test_prepare_corpus_end_to_end(spark):
     assert sorted(per) == list(range(len(per)))
 
 
+def test_prepare_corpus_redact_scrubs_pii(spark):
+    """With redact=True no raw PII survives into chunk_text, and the
+    rest of the pipeline (chunk counts per doc) is unchanged because
+    the quality gate still judges the original text."""
+    from pytod_spark.pipeline import PrepareConfig, prepare_corpus
+
+    rows = [
+        (0, "contact me at alice@example.com for the dataset " + "w " * 40),
+        (1, "server lives on 10.0.3.7 behind the proxy " + "x " * 40),
+        (2, "api key deadbeefdeadbeefdeadbeefdeadbeef here " + "y " * 40),
+        (3, "perfectly clean document with no secrets " + "z " * 40),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = PrepareConfig(chunk_tokens=16, chunk_overlap=4,
+                        shard_budget_tokens=200, min_quality=0.0,
+                        redact=True)
+    out = prepare_corpus(docs, None, cfg).collect()
+    assert out
+    joined = " ".join(r["chunk_text"] for r in out)
+    assert "alice@example.com" not in joined
+    assert "10.0.3.7" not in joined
+    assert "deadbeef" not in joined
+    # chunk_text is tokenizer-normalised (lowercased), so the
+    # placeholders show up lowercase
+    assert "<email>" in joined and "<ip>" in joined and "<hex>" in joined
+    # same chunk structure as the unredacted run (placeholders are one
+    # token, same as the original email/ip/hex tokens they replace)
+    plain = prepare_corpus(docs, None, PrepareConfig(
+        chunk_tokens=16, chunk_overlap=4, shard_budget_tokens=200,
+        min_quality=0.0)).collect()
+    key = lambda rs: sorted((r["doc_id"], r["chunk_id"]) for r in rs)
+    assert key(out) == key(plain)
+
+
 def test_winnow_finds_duplicates_not_distinct_docs(spark):
     """The MOSS guarantee, lower-bounded: documents sharing a long
     run (here: exact copies and a copy with a changed tail) must pair;
