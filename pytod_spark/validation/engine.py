@@ -329,14 +329,18 @@ class ValidationSuite:
             def _job_dist_drift():
                 if reference is None:
                     return
-                from .ks import ks_report
-                from .psi import psi_report
+                from .ks import ks_report_from_counts
+                from .psi import psi_report_from_counts
+                from .profile import snapshot_value_counts
 
                 # long format: one row per (partition, feature, value,
-                # side) — stack() is a map-side Generate, no shuffle;
-                # both PSI and KS then pre-aggregate to model-sized
-                # frames (G*B histogram rows / per-distinct-value
-                # counts), nothing row-scale crosses the wire twice
+                # side) — stack() is a map-side Generate, no shuffle.
+                # The row-scale input (which includes deriving the
+                # reference snapshot's features from raw content)
+                # collapses ONCE into the shared per-(partition,
+                # feature, value) counts profile; PSI and KS both read
+                # the persisted profile, so nothing row-scale is ever
+                # scanned or shuffled twice.
                 stack_expr = "stack({}, {}) as (feature, value)".format(
                     len(FEATURE_COLS),
                     ", ".join(
@@ -355,12 +359,15 @@ class ValidationSuite:
                     )
                     .selectExpr(pcol, "__is_ref", stack_expr)
                 )
-                psi = psi_report(
-                    both, F.col("__is_ref"), "value", [pcol, "feature"],
+                per_val = snapshot_value_counts(
+                    both, F.col("__is_ref"), "value", [pcol, "feature"]
+                ).persist()
+                psi = psi_report_from_counts(
+                    per_val, "value", [pcol, "feature"],
                     threshold=psi_threshold,
                 ).withColumnRenamed("drifted", "psi_drifted")
-                ks = ks_report(
-                    both, F.col("__is_ref"), "value", [pcol, "feature"]
+                ks = ks_report_from_counts(
+                    per_val, "value", [pcol, "feature"]
                 ).select(
                     pcol, "feature", "ks_d", "ks_crit",
                     F.col("drifted").alias("ks_drifted"),
@@ -378,6 +385,7 @@ class ValidationSuite:
                     sums["psi_max"][r[pcol]] = float(r["pm"])
                     sums["dist_drifted"][r[pcol]] = int(r["nd"])
                 rep.unpersist()
+                per_val.unpersist()
 
             jobs = {
                 "stats": _job_stats,

@@ -7,7 +7,8 @@ standard large-sample significance bound
 D_crit = c(alpha) * sqrt((n_r + n_c) / (n_r * n_c)), c(0.05) = 1.358.
 
 100-TB shape: pre-aggregate to one row per (group, distinct value)
-with per-side counts (partial-aggregated hash shuffle), then the
+with per-side counts (the shared snapshot profile,
+validation/profile.py — PSI reuses the same frame), then the
 strictly-smaller cumulative counts come from the bucketed two-pass
 machinery (operators/ranking.py bucketed_cumsums — windows
 partitioned by (group, bucket), per-bucket offsets by broadcast; no
@@ -21,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.ranking import bucketed_cumsums
+from .profile import snapshot_value_counts
 
 KS_C_ALPHA = 1.358  # alpha = 0.05
 
@@ -36,10 +38,19 @@ def ks_report(
     ``group_col`` may be a list (e.g. [partition, feature] in the
     validation engine's distribution-drift check)."""
     group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
-    per_val = df.groupBy(*group_cols, value_col).agg(
-        F.sum(F.when(is_ref, 1).otherwise(0)).alias("__r"),
-        F.sum(F.when(is_ref, 0).otherwise(1)).alias("__c"),
-    )
+    per_val = snapshot_value_counts(df, is_ref, value_col, group_cols)
+    return ks_report_from_counts(per_val, value_col, group_cols)
+
+
+def ks_report_from_counts(
+    per_val: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """KS from the shared snapshot profile (one row per
+    (group..., distinct value) with ``__r``/``__c`` counts); the
+    engine persists the profile so the internal multi-consumer reads
+    (bucket bounds, bucket counts, totals) replay a cached frame."""
     cum = bucketed_cumsums(
         per_val, value_col, {"__r": "__r_lt", "__c": "__c_lt"},
         part_cols=group_cols,

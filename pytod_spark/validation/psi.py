@@ -12,17 +12,20 @@ edge bins), and report per group
 with proportions clamped at eps so empty bins contribute finitely.
 Rule-of-thumb verdicts: < 0.1 stable, 0.1-0.2 drifting, > 0.2 drifted.
 
-100-TB shape: two scans total — one conditional aggregate for the
-reference per-group min/max (a ~|groups|-row model, broadcast back),
-one conditional aggregate to the (group x bin) histogram (<= G*B
-rows; per-doc repetition collapses map-side). The PSI reduction then
-runs over the tiny histogram frame. Nothing row-scale ever shuffles.
+100-TB shape: the row-scale input collapses once into the shared
+per-(group, distinct value) counts profile (validation/profile.py —
+a partial-aggregated hash shuffle that two-sample KS reuses); the
+binning, histogram and PSI reduction then run over that model-sized
+frame (bin depends on the value only, so per-value counts bin exactly
+like per-row values). Nothing row-scale ever shuffles.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .profile import snapshot_value_counts
 
 EPS = 1e-6
 
@@ -40,11 +43,28 @@ def psi_report(
     ``group_col`` may be a list (e.g. [partition, feature] in the
     validation engine's distribution-drift check)."""
     group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
-    ref_val = F.when(is_ref, F.col(value_col))
-    stats = df.groupBy(*group_cols).agg(
+    per_val = snapshot_value_counts(df, is_ref, value_col, group_cols)
+    return psi_report_from_counts(
+        per_val, value_col, group_cols, n_bins=n_bins, threshold=threshold
+    )
+
+
+def psi_report_from_counts(
+    per_val: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_bins: int = 10,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """PSI from the shared snapshot profile (one row per
+    (group..., distinct value) with ``__r``/``__c`` counts) — the
+    engine persists that profile and feeds PSI and KS from it so the
+    row-scale scan happens once (engine._job_dist_drift)."""
+    ref_val = F.when(F.col("__r") > 0, F.col(value_col))
+    stats = per_val.groupBy(*group_cols).agg(
         F.min(ref_val).alias("__lo"), F.max(ref_val).alias("__hi")
     )
-    binned = df.join(F.broadcast(stats), group_cols)
+    binned = per_val.join(F.broadcast(stats), group_cols)
     width = (F.col("__hi") - F.col("__lo")) / n_bins
     raw_bin = F.floor((F.col(value_col) - F.col("__lo")) / width)
     # degenerate reference (all values equal -> width 0) puts every
@@ -55,10 +75,7 @@ def psi_report(
     hist = (
         binned.withColumn("__bin", bin_id)
         .groupBy(*group_cols, "__bin")
-        .agg(
-            F.sum(F.when(is_ref, 1).otherwise(0)).alias("__r"),
-            F.sum(F.when(is_ref, 0).otherwise(1)).alias("__c"),
-        )
+        .agg(F.sum("__r").alias("__r"), F.sum("__c").alias("__c"))
     )
     tot = hist.groupBy(*group_cols).agg(
         F.sum("__r").alias("__tr"), F.sum("__c").alias("__tc")
