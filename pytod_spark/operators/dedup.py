@@ -293,9 +293,13 @@ def connected_components(
     without a lineage cut the logical plan doubles per round and plan
     canonicalization OOMs the driver by ~round 10 — the standard
     iterative-algorithm trap persist() does NOT fix (it caches data,
-    not lineage). Production note: set a reliable checkpoint dir
-    (``sc.setCheckpointDir``) on real clusters so a lost executor
-    doesn't kill the run mid-iteration. If the loop exhausts
+    not lineage). Superseded rounds are unpersisted as soon as their
+    successor materializes, so storage holds ~2 label frames at any
+    time, not one per round. Production note: set a reliable
+    checkpoint dir (``sc.setCheckpointDir``) on real clusters so a
+    lost executor doesn't kill the run mid-iteration, and set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+    superseded checkpoint FILES are garbage-collected too. If the loop exhausts
     ``max_iters`` while labels are still changing the result would be
     silently wrong (components split across labels), so it raises
     instead — with pointer jumping max_iters=20 covers diameters up
@@ -346,6 +350,16 @@ def connected_components(
             .where(F.col("lbl") < F.col("__old"))
             .take(1)
         )
+        # new_labels is materialized (checkpoints here are eager), so
+        # the previous round's blocks are dead — free them now instead
+        # of accumulating one full label-frame copy per round in
+        # executor storage. Reliable-checkpoint FILES are only cleaned
+        # by Spark when spark.cleaner.referenceTracking.cleanCheckpoints
+        # is set (see the docstring's production note).
+        try:
+            labels.unpersist()
+        except Exception:
+            pass
         labels = new_labels
         if not changed:
             converged = True

@@ -178,6 +178,16 @@ class ValidationSuite:
             sviol = schema_violations(df, contract=self.schema_contract)
             if sviol:
                 raise SchemaContractError(sviol)
+            # the reference snapshot feeds the same feature derivation
+            # (dist-drift job), so a drifted reference schema must fail
+            # here too — not as an AnalysisException mid-run after the
+            # stats/uniqueness/RI work already burned
+            if reference is not None:
+                rviol = schema_violations(reference, contract=self.schema_contract)
+                if rviol:
+                    raise SchemaContractError(
+                        [{**v, "frame": "reference"} for v in rviol]
+                    )
 
         os.makedirs(os.path.join(run_dir, "markers"), exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -366,8 +376,13 @@ class ValidationSuite:
                     per_val, "value", [pcol, "feature"],
                     threshold=psi_threshold,
                 ).withColumnRenamed("drifted", "psi_drifted")
+                # dist_pass ANDs one KS verdict per feature, so at the
+                # raw 5% level a genuinely identical reference would
+                # false-fail ~1-0.95^|features| ~= 30% of partitions.
+                # Bonferroni keeps the per-PARTITION false-fail at 5%.
                 ks = ks_report_from_counts(
-                    per_val, "value", [pcol, "feature"]
+                    per_val, "value", [pcol, "feature"],
+                    alpha=0.05 / len(FEATURE_COLS),
                 ).select(
                     pcol, "feature", "ks_d", "ks_crit",
                     F.col("drifted").alias("ks_drifted"),

@@ -18,13 +18,24 @@ max-reduction is one more partial-aggregated groupBy.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.ranking import bucketed_cumsums
 from .profile import snapshot_value_counts
 
-KS_C_ALPHA = 1.358  # alpha = 0.05
+KS_C_ALPHA = 1.358  # c(0.05) — the catalogue/oracle default
+
+
+def _c_alpha(alpha: float) -> float:
+    """Smirnov's large-sample coefficient c(a) = sqrt(-ln(a/2)/2).
+    The default level returns the published 3-decimal table value
+    1.358 (what the DuckDB oracles hardcode), not the raw 1.35810."""
+    if alpha == 0.05:
+        return KS_C_ALPHA
+    return math.sqrt(-math.log(alpha / 2.0) / 2.0)
 
 
 def ks_report(
@@ -32,20 +43,25 @@ def ks_report(
     is_ref: Column,
     value_col: str = "value",
     group_col: str | list[str] = "event_type",
+    alpha: float = 0.05,
 ) -> DataFrame:
     """Per-group two-sample KS statistic between the rows where
-    ``is_ref`` is true and the rest, with a 5%-level drift verdict.
-    ``group_col`` may be a list (e.g. [partition, feature] in the
-    validation engine's distribution-drift check)."""
+    ``is_ref`` is true and the rest, with an ``alpha``-level drift
+    verdict. ``group_col`` may be a list (e.g. [partition, feature] in
+    the validation engine's distribution-drift check). Callers testing
+    many (group, feature) cells and AND-ing the verdicts into one
+    pass/fail should Bonferroni-correct (pass alpha/#cells-per-verdict)
+    — the engine does (engine.py _job_dist_drift)."""
     group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
     per_val = snapshot_value_counts(df, is_ref, value_col, group_cols)
-    return ks_report_from_counts(per_val, value_col, group_cols)
+    return ks_report_from_counts(per_val, value_col, group_cols, alpha=alpha)
 
 
 def ks_report_from_counts(
     per_val: DataFrame,
     value_col: str,
     group_cols: list[str],
+    alpha: float = 0.05,
 ) -> DataFrame:
     """KS from the shared snapshot profile (one row per
     (group..., distinct value) with ``__r``/``__c`` counts); the
@@ -63,7 +79,7 @@ def ks_report_from_counts(
     # plain / throw; the NULLs land in the one_sided branch below
     f_ref = F.try_divide(F.col("__r_lt") + F.col("__r"), F.col("__tr"))
     f_cur = F.try_divide(F.col("__c_lt") + F.col("__c"), F.col("__tc"))
-    crit = KS_C_ALPHA * F.sqrt(
+    crit = F.lit(_c_alpha(alpha)) * F.sqrt(
         F.try_divide(F.col("__tr") + F.col("__tc"), F.col("__tr") * F.col("__tc"))
     )
     agg = (

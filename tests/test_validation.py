@@ -241,6 +241,43 @@ def test_ks_one_sided_group_is_max_drift(spark):
     assert out["both"]["drifted"] == 0
 
 
+def test_engine_dist_drift_no_false_positive_on_same_distribution(
+    spark, corpus, parent, tmp_path
+):
+    """Two INDEPENDENT snapshots of the same distribution (different
+    generator seeds, so per-value counts genuinely differ) must not
+    fail dist_pass: each KS verdict is a significance test, and
+    AND-ing |FEATURE_COLS| of them per partition without correction
+    would false-fail ~30% of partitions at alpha=0.05. The engine
+    Bonferroni-corrects, keeping the per-partition false-fail at 5%."""
+    run_dir = str(tmp_path / "run_same_dist")
+    cur = corpus.drop("is_anomaly", "is_orphan")
+    ref = generate_repo_table(spark, N, seed=43, anomaly_every=10)
+    suite = ValidationSuite(contamination=0.1)
+    suite.run(spark, cur, run_dir, parent=parent, reference=ref)
+    verdicts = spark.read.parquet(os.path.join(run_dir, "verdicts")).collect()
+    assert verdicts, "no verdicts written"
+    for v in verdicts:
+        assert v["dist_pass"], (
+            f"{v['lang']} false-positive dist drift on identical "
+            f"distributions (n_dist_drifted={v['n_dist_drifted']})"
+        )
+
+
+def test_schema_gate_covers_reference_snapshot(spark, corpus, parent, tmp_path):
+    """A drifted REFERENCE schema must fail at the zero-job gate, not
+    as an AnalysisException deep inside the dist-drift job."""
+    from pytod_spark.validation import SchemaContractError
+
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    bad_ref = clean.withColumn("content", F.length("content"))
+    suite = ValidationSuite(contamination=0.1)
+    with pytest.raises(SchemaContractError, match="content"):
+        suite.run(spark, clean, str(tmp_path / "run_badref"),
+                  parent=parent, reference=bad_ref)
+    assert not os.path.isdir(str(tmp_path / "run_badref" / "markers"))
+
+
 def test_schema_contract_gate(spark, corpus, tmp_path):
     """The engine's zero-job schema gate: missing / mistyped contract
     columns fail before any data is read; extra columns are fine
