@@ -106,16 +106,11 @@ class SparkDetector:
         """Budget dispatch for ``strategy='auto'`` (module docstring):
         kernel for ungrouped inputs whose n x dim fits
         BROADCAST_MAX_ELEMS fp64 elements, distributed otherwise."""
-        from ..operators.block_knn import BROADCAST_MAX_ELEMS, estimate_rows
+        from ..operators.block_knn import fits_broadcast_budget
 
         if group_cols:
             return "distributed"
-        n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
-        if not 0 < n <= BROADCAST_MAX_ELEMS:
-            return "distributed"
-        head = df.select(features_col).head(1)
-        dim = len(head[0][0]) if head and head[0][0] is not None else None
-        if dim and n * dim <= BROADCAST_MAX_ELEMS:
+        if fits_broadcast_budget(df, features_col, n_rows=n_rows):
             return "kernel"
         return "distributed"
 

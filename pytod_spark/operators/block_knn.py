@@ -217,6 +217,30 @@ def tile_sides(df, id_col, features_col, group_cols, n_blocks):
 BROADCAST_MAX_ELEMS = 8 << 20
 
 
+def fits_broadcast_budget(
+    df: DataFrame,
+    features_col: str = "features",
+    n_rows: int | None = None,
+    budget: int = BROADCAST_MAX_ELEMS,
+) -> bool:
+    """THE small-input gate, shared by every fast path that would
+    otherwise re-implement it (kNN broadcast join here, the detectors'
+    ``strategy='auto'`` kernel dispatch in detectors/base.py, the
+    driver-local IVF Lloyd in operators/similarity.py — one definition
+    so tuning the budget tunes all three). True when n x dim fits
+    ``budget`` fp64 elements: n from ``n_rows`` if given, else plan
+    statistics (``estimate_rows``), else a pruned count job; dim from
+    one head row. ``budget=0`` disables (always False)."""
+    if not budget:
+        return False
+    n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
+    if not 0 < n <= budget:
+        return False
+    head = df.select(features_col).head(1)
+    dim = len(head[0][0]) if head and head[0][0] is not None else None
+    return bool(dim and n * dim <= budget)
+
+
 def _broadcast_knn(
     df: DataFrame,
     k: int,
@@ -307,11 +331,10 @@ def knn_join(
     """
     group_cols = list(group_cols)
     n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
-    if not group_cols and broadcast_elems and 0 < n <= broadcast_elems:
-        head = df.select(features_col).head(1)
-        dim = len(head[0][0]) if head and head[0][0] is not None else None
-        if dim and n * dim <= broadcast_elems:
-            return _broadcast_knn(df, k, id_col, features_col, p, precision, largest)
+    if not group_cols and fits_broadcast_budget(
+        df, features_col, n_rows=n, budget=broadcast_elems
+    ):
+        return _broadcast_knn(df, k, id_col, features_col, p, precision, largest)
     n_blocks = max(1, math.ceil(n / block_size))
 
     # left row of block i joins every tile (i, *); right row of block j

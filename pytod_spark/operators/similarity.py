@@ -19,7 +19,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .block_knn import estimate_rows, tile_sides
+from .block_knn import (
+    BROADCAST_MAX_ELEMS,
+    estimate_rows,
+    fits_broadcast_budget,
+    tile_sides,
+)
 from .cache import track
 
 
@@ -421,7 +426,7 @@ def ivf_fit(
     id_col: str = "row_id",
     features_col: str = "features",
     unit: DataFrame | None = None,
-    broadcast_elems: int = 8 << 20,
+    broadcast_elems: int = BROADCAST_MAX_ELEMS,
 ) -> np.ndarray:
     """Distributed spherical-Lloyd fit of the IVF coarse quantizer
     (mirrors oracle.operators.ivf_centroids, which documents the
@@ -444,19 +449,14 @@ def ivf_fit(
     sample (``df.sample(...)`` upstream), never the full corpus, so
     the fit input is SUPPOSED to fit a driver collect."""
     u = unit if unit is not None else _unit_frame(df, id_col, features_col)
-    if broadcast_elems:
-        n = estimate_rows(df) or df.count()
-        if 0 < n <= broadcast_elems:
-            head = df.select(features_col).head(1)
-            dim = len(head[0][0]) if head and head[0][0] is not None else None
-            if dim and n * dim <= broadcast_elems:
-                rows = u.collect()
-                ids = np.fromiter(
-                    (r["__id"] for r in rows), dtype=np.int64, count=len(rows)
-                )
-                U = np.stack([np.asarray(r["__u"], dtype=np.float64) for r in rows])
-                order = np.argsort(ids, kind="stable")
-                return _local_lloyd(np.ascontiguousarray(U[order]), n_clusters, n_iters)
+    if fits_broadcast_budget(df, features_col, budget=broadcast_elems):
+        rows = u.collect()
+        ids = np.fromiter(
+            (r["__id"] for r in rows), dtype=np.int64, count=len(rows)
+        )
+        U = np.stack([np.asarray(r["__u"], dtype=np.float64) for r in rows])
+        order = np.argsort(ids, kind="stable")
+        return _local_lloyd(np.ascontiguousarray(U[order]), n_clusters, n_iters)
     first = u.orderBy("__id").limit(n_clusters).collect()
     C = np.array([r["__u"] for r in sorted(first, key=lambda r: r["__id"])])
     dim = C.shape[1]
