@@ -112,12 +112,19 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.dedup import connected_components, minhash_dedup_pairs
 
         docs = load_table(spark, args.input)
-        pairs = minhash_dedup_pairs(docs, threshold=args.threshold)
+        # skew_stats: the no-silent-caps contract — hot-bucket cap
+        # engagement is logged by the operator and shipped in this
+        # command's JSON result
+        skew: dict = {}
+        pairs = minhash_dedup_pairs(docs, threshold=args.threshold, skew_stats=skew)
         cc = connected_components(pairs).select(
             F_col("node").alias("doc_id"), "cluster_id"
         )
         cc.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"clustered_docs": spark.read.parquet(args.out).count()}))
+        print(json.dumps({
+            "clustered_docs": spark.read.parquet(args.out).count(),
+            "skew_stats": skew,
+        }))
         return 0
 
     if args.cmd == "prepare":

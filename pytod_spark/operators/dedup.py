@@ -121,9 +121,10 @@ def lsh_candidate_pairs(
 
     Hot-bucket cap (operators/skew.py): a band bucket larger than
     ``cap`` (default skew.DEFAULT_BUCKET_CAP) — e.g. a million-copy
-    boilerplate cluster landing in one band — emits a linear star
-    instead of C(n,2) pairs; connectivity for connected_components is
-    preserved and the cap is logged."""
+    boilerplate cluster landing in one band — emits linear K-hub star
+    pairs instead of C(n,2); connectivity for connected_components
+    survives unless every hub fails the refine, and engagement is
+    reported via ``skew_stats`` (operators/skew.py)."""
     from .skew import DEFAULT_BUCKET_CAP, capped_self_join_pairs
 
     keys = [
@@ -222,9 +223,10 @@ def simhash_pairs(
     instead of O(n^2/groups) — followed by the exact Hamming re-check,
     which makes the result set identical to the all-pairs plan
     whenever no chunk bucket exceeds ``cap`` (hot buckets emit a
-    linear star, operators/skew.py — for SimHash a giant near-dup
-    cluster collides on every chunk, so the star still links the whole
-    cluster and the Hamming recheck keeps its exactness per pair)."""
+    linear K-hub star, operators/skew.py — for SimHash a giant
+    near-dup cluster collides on every chunk, so the hub stars still
+    link the whole cluster and the Hamming recheck keeps its exactness
+    per pair)."""
     from .skew import DEFAULT_BUCKET_CAP, capped_self_join_pairs
 
     group_cols = list(group_cols)

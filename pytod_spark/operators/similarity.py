@@ -197,8 +197,8 @@ def rp_lsh_candidate_pairs(
     an equi-join on (band_id, band_key) — never all-pairs.
 
     Hot-bucket cap (operators/skew.py): a signature bucket larger than
-    ``cap`` — a giant cluster of near-identical embeddings — emits a
-    linear star instead of C(n,2) pairs; the exact-cosine refine
+    ``cap`` — a giant cluster of near-identical embeddings — emits
+    linear K-hub star pairs instead of C(n,2); the exact-cosine refine
     downstream keeps per-pair exactness and the cap is logged."""
     from .skew import DEFAULT_BUCKET_CAP, capped_self_join_pairs
 

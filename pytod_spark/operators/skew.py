@@ -15,25 +15,40 @@ volume).
   self-join — identical to the uncapped plan, so small-scale results
   (and the DuckDB oracles) are unchanged wherever no key exceeds the
   cap.
-* hot keys  (bucket size >  cap): a STAR — every row pairs with the
-  bucket's minimum id. Output is n-1 pairs instead of C(n, 2), and
-  connectivity within the bucket is fully preserved, so duplicate
-  clusters are still recovered exactly by
-  ``dedup.connected_components``; only pair *multiplicity* (e.g.
-  winnowing's n_shared count between two non-minimum members) is
-  reduced. Downstream exact refines (Jaccard / Hamming / cosine)
-  apply to star pairs unchanged.
+* hot keys  (bucket size >  cap): a K-HUB STAR — rows are hashed into
+  ``n_hubs`` subgroups, each subgroup's minimum id becomes a hub, and
+  every row pairs with every hub. Output is <= n_hubs * n pairs
+  instead of C(n, 2). Connectivity within the bucket survives any
+  downstream exact refine (Jaccard / Hamming / cosine) as long as AT
+  LEAST ONE hub passes the refine against the bucket's true
+  duplicates: a single-hub star dies entirely when its one center
+  happens to fail the refine (e.g. the bucket's min-id doc is a
+  below-threshold collision), K independent hubs fail together
+  exponentially less often. Pair *multiplicity* (e.g. winnowing's
+  n_shared count between two non-hub members) is still reduced —
+  callers that threshold on multiplicity see hot-bucket pairs
+  undercounted, which is why engagement is never silent (below).
 
-No silent caps: the helper counts hot keys and affected rows (one
-small aggregate over the already-persisted banded frame) and logs
-them at WARNING when any key was capped; callers can pass ``stats``
-to capture the numbers programmatically.
+No silent caps: pass ``stats`` (any dict) to run a small diagnostic
+aggregate — it fills hot_keys / hot_rows / pairs_capped and logs a
+WARNING when any key was capped. The production pipelines
+(pipeline.prepare_corpus, the CLI dedup path) pass it and surface the
+numbers in their metrics; the probe scripts record them in BENCH
+artifacts. Without ``stats`` the returned plan is FULLY LAZY — no job
+runs at construction time.
 
-Plan shape: ONE exchange — the banded frame is window-annotated with
-per-key size and min id (count/min over an unordered key partition),
-persisted (it feeds the cold self-join twice plus the hot branch and
-the stats job), and filtered into the two branches. The cold self-join
-shuffles on the same key the window already partitioned by.
+``cap=0`` disables capping entirely and returns the plain exact
+self-join (no size window, no persist) — the true uncapped plan, used
+as the control in scripts/skew_cap_probe.py.
+
+Plan shape (cap > 0): ONE exchange — the banded frame is
+window-annotated with per-key size and the n_hubs subgroup minima
+(count/min aggregates over one unordered key partitioning; the
+subgroup minima are n_hubs conditional mins over the SAME window, so
+no second exchange), persisted (it feeds the cold self-join twice
+plus the hot branch and the optional stats job), and filtered into
+the two branches. The cold self-join shuffles on the same key the
+window already partitioned by.
 """
 
 from __future__ import annotations
@@ -57,6 +72,12 @@ log = logging.getLogger(__name__)
 # DuckDB oracles at test scale.
 DEFAULT_BUCKET_CAP = 4096
 
+# Hubs per hot bucket. One hub preserves connectivity only until the
+# downstream refine rejects that single center; three independent
+# hubs make a refine-orphaned bucket require all three subgroup
+# minima to fail, at 3x the (still linear) pair volume.
+DEFAULT_N_HUBS = 3
+
 
 def capped_self_join_pairs(
     banded: DataFrame,
@@ -68,22 +89,31 @@ def capped_self_join_pairs(
     keep_cols: Iterable[str] = (),
     carry_cols: Iterable[str] = (),
     stats: dict | None = None,
+    n_hubs: int = DEFAULT_N_HUBS,
 ) -> DataFrame:
-    """Bucket self-join with hot-key star capping.
+    """Bucket self-join with hot-key K-hub star capping.
 
     banded      — one row per (key, member): the bucket assignment frame.
     key_cols    — the bucket key (band/chunk/fingerprint [+ groups]).
     id_col      — member id; pairs are oriented ``a < b``.
+    cap         — max bucket size joined all-pairs; 0 disables capping
+                  (plain exact self-join, no window/persist overhead).
     keep_cols   — key columns to carry into the output (e.g. groups).
     carry_cols  — non-key member columns carried per side as
                   ``{col}_a`` / ``{col}_b`` (e.g. the simhash value for
-                  the Hamming recheck).
-    stats       — optional dict filled with hot_keys / hot_rows /
-                  capped_pair_reduction.
+                  the Hamming recheck); on star pairs the values follow
+                  the a/b orientation, whichever side the hub lands on.
+    stats       — optional dict: when given, an eager diagnostic
+                  aggregate fills hot_keys / hot_rows / pairs_capped
+                  and cap engagement is logged at WARNING. When None,
+                  construction is fully lazy (no jobs).
+    n_hubs      — hubs per hot bucket (refine-robustness vs pair
+                  volume; see module docstring).
 
     Returns (keep_cols…, a_name, b_name, carry_a…, carry_b…) — NOT
-    deduplicated (a pair can collide in several buckets); callers
-    `.distinct()` or aggregate as before.
+    deduplicated (a pair can collide in several buckets, and on hot
+    buckets in several hubs); callers `.distinct()` or aggregate as
+    before.
     """
     from pyspark import StorageLevel
 
@@ -93,98 +123,122 @@ def capped_self_join_pairs(
     keep_cols = list(keep_cols)
     carry_cols = list(carry_cols)
 
+    def _exact_pairs(src: DataFrame) -> DataFrame:
+        a = src.select(
+            *key_cols,
+            F.col(id_col).alias(a_name),
+            *[F.col(c).alias(f"{c}_a") for c in carry_cols],
+        )
+        b = src.select(
+            *[F.col(c).alias(f"__r_{c}") for c in key_cols],
+            F.col(id_col).alias(b_name),
+            *[F.col(c).alias(f"{c}_b") for c in carry_cols],
+        )
+        cond = [a[c] == b[f"__r_{c}"] for c in key_cols] + [a[a_name] < b[b_name]]
+        out_cols = (
+            keep_cols
+            + [a_name, b_name]
+            + [f"{c}_a" for c in carry_cols]
+            + [f"{c}_b" for c in carry_cols]
+        )
+        return a.join(b, on=cond).select(*out_cols)
+
+    if not cap:
+        return _exact_pairs(banded)
+
     w = Window.partitionBy(*key_cols)
+    # subgroup minima over the SAME window partitioning (n_hubs
+    # conditional mins), so hub derivation adds no second exchange; a
+    # row's own subgroup always contains the row itself, so its
+    # element is never NULL.
+    sub_mins = F.array(
+        *[
+            F.min(F.when(F.col("__g") == i, F.col(id_col))).over(w)
+            for i in range(n_hubs)
+        ]
+    )
     ann = track(
-        banded.withColumn("__ksz", F.count(F.lit(1)).over(w))
-        .withColumn("__kmin", F.min(id_col).over(w))
+        banded.withColumn("__g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_hubs)))
+        .withColumn("__ksz", F.count(F.lit(1)).over(w))
+        .withColumn("__gmin", F.element_at(sub_mins, F.col("__g").cast("int") + 1))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # --- honesty job: how much did the cap bite? (reads the cache the
-    # pair join is about to reuse, so the extra cost is one cached scan)
-    hot_row = (
-        ann.where(F.col("__ksz") > cap)
-        .agg(
-            F.count_distinct(*[F.col(c) for c in key_cols]).alias("hot_keys"),
-            F.count(F.lit(1)).alias("hot_rows"),
-            # pairs the quadratic plan would have emitted minus the star's
-            F.coalesce(
-                F.sum(
-                    (F.col("__ksz") - 1) / 2.0  # per-row share of C(n,2)
-                ),
-                F.lit(0.0),
-            ).alias("quad_pairs"),
-        )
-        .first()
-    )
-    hot_keys, hot_rows = int(hot_row["hot_keys"]), int(hot_row["hot_rows"])
-    if stats is not None:
-        stats["hot_keys"] = hot_keys
-        stats["hot_rows"] = hot_rows
-        stats["pairs_capped"] = int(hot_row["quad_pairs"] or 0) - max(
-            hot_rows - hot_keys, 0
-        )
-    if hot_keys:
-        log.warning(
-            "hot-bucket cap engaged: %d keys over cap=%d (%d rows) emit "
-            "star pairs (%d pairs) instead of ~%d quadratic pairs; "
-            "connectivity preserved, pair multiplicity reduced",
-            hot_keys,
-            cap,
-            hot_rows,
-            hot_rows - hot_keys,
-            int(hot_row["quad_pairs"] or 0),
-        )
-
-    cold = ann.where(F.col("__ksz") <= cap)
-    a = cold.select(
-        *key_cols,
-        F.col(id_col).alias(a_name),
-        *[F.col(c).alias(f"{c}_a") for c in carry_cols],
-    )
-    b = cold.select(
-        *[F.col(c).alias(f"__r_{c}") for c in key_cols],
-        F.col(id_col).alias(b_name),
-        *[F.col(c).alias(f"{c}_b") for c in carry_cols],
-    )
-    cond = [a[c] == b[f"__r_{c}"] for c in key_cols] + [a[a_name] < b[b_name]]
-    out_cols = (
-        keep_cols
-        + [a_name, b_name]
-        + [f"{c}_a" for c in carry_cols]
-        + [f"{c}_b" for c in carry_cols]
-    )
-    cold_pairs = a.join(b, on=cond).select(*out_cols)
-
-    if hot_keys == 0:
-        # planner shortcut: no hot branch, no union — the cold plan IS
-        # the exact uncapped plan
-        return cold_pairs
+    cold_pairs = _exact_pairs(ann.where(F.col("__ksz") <= cap))
 
     hot = ann.where(F.col("__ksz") > cap)
-    # the star center's carry values: the row WITH id == __kmin
-    center = hot.where(F.col(id_col) == F.col("__kmin")).select(
-        *key_cols,
-        *[F.col(c).alias(f"{c}_a") for c in carry_cols],
-        F.col(id_col).alias("__center"),
-    ).dropDuplicates([*key_cols])
-    spokes = hot.where(F.col(id_col) != F.col("__kmin")).select(
-        *key_cols,
-        F.col(id_col).alias(b_name),
-        *[F.col(c).alias(f"{c}_b") for c in carry_cols],
+    hubs = (
+        hot.where(F.col(id_col) == F.col("__gmin"))
+        .select(
+            *key_cols,
+            F.col(id_col).alias("__hub"),
+            *[F.col(c).alias(f"__h_{c}") for c in carry_cols],
+        )
+        .dropDuplicates([*key_cols, "__hub"])
     )
-    if carry_cols:
-        hot_pairs = spokes.join(center, on=key_cols).select(
+    spokes = hot.select(
+        *key_cols,
+        F.col(id_col).alias("__spoke"),
+        *[F.col(c).alias(f"__s_{c}") for c in carry_cols],
+    )
+    hub_first = F.col("__hub") < F.col("__spoke")
+    hot_pairs = (
+        spokes.join(hubs, on=key_cols)
+        .where(F.col("__hub") != F.col("__spoke"))
+        .select(
             *keep_cols,
-            F.col("__center").alias(a_name),
-            b_name,
-            *[f"{c}_a" for c in carry_cols],
-            *[f"{c}_b" for c in carry_cols],
+            F.least("__hub", "__spoke").alias(a_name),
+            F.greatest("__hub", "__spoke").alias(b_name),
+            *[
+                F.when(hub_first, F.col(f"__h_{c}"))
+                .otherwise(F.col(f"__s_{c}"))
+                .alias(f"{c}_a")
+                for c in carry_cols
+            ],
+            *[
+                F.when(hub_first, F.col(f"__s_{c}"))
+                .otherwise(F.col(f"__h_{c}"))
+                .alias(f"{c}_b")
+                for c in carry_cols
+            ],
         )
-    else:
-        hot_pairs = hot.where(F.col(id_col) != F.col("__kmin")).select(
-            *keep_cols,
-            F.col("__kmin").alias(a_name),
-            F.col(id_col).alias(b_name),
+    )
+    out = cold_pairs.unionByName(hot_pairs)
+
+    if stats is not None:
+        # opt-in diagnostic (the only eager work in this function):
+        # one aggregate over the persisted frame the join is about to
+        # reuse, so the extra cost is one cached scan
+        hot_row = (
+            ann.where(F.col("__ksz") > cap)
+            .agg(
+                F.count_distinct(*[F.col(c) for c in key_cols]).alias("hot_keys"),
+                F.count(F.lit(1)).alias("hot_rows"),
+                # pairs the quadratic plan would have emitted
+                F.coalesce(
+                    F.sum((F.col("__ksz") - 1) / 2.0),  # per-row share of C(n,2)
+                    F.lit(0.0),
+                ).alias("quad_pairs"),
+            )
+            .first()
         )
-    return cold_pairs.unionByName(hot_pairs)
+        hot_keys, hot_rows = int(hot_row["hot_keys"]), int(hot_row["hot_rows"])
+        quad = int(hot_row["quad_pairs"] or 0)
+        star_bound = hot_rows * n_hubs
+        stats["hot_keys"] = hot_keys
+        stats["hot_rows"] = hot_rows
+        stats["pairs_capped"] = max(quad - star_bound, 0)
+        if hot_keys:
+            log.warning(
+                "hot-bucket cap engaged: %d keys over cap=%d (%d rows) emit "
+                "%d-hub star pairs (<= %d) instead of ~%d quadratic pairs; "
+                "connectivity robust to refine unless all hubs fail, pair "
+                "multiplicity reduced",
+                hot_keys,
+                cap,
+                hot_rows,
+                n_hubs,
+                star_bound,
+                quad,
+            )
+    return out

@@ -88,7 +88,7 @@ def winnow_pairs(
 
     Hot-fingerprint cap (operators/skew.py): a fingerprint held by
     more than ``cap`` documents — a license-header k-gram at corpus
-    scale — emits a linear star instead of C(n,2) pairs; the cap is
+    scale — emits linear K-hub star pairs instead of C(n,2); the cap is
     logged. Star pairs contribute to n_shared only for the bucket-min
     document, so pairs between two non-minimum members of a capped
     bucket may undercount n_shared (recover cluster membership with

@@ -57,8 +57,13 @@ def run_case(spark, n_unique: int, n_clones: int, cap: int | None, label: str) -
     df.count()
     stats: dict = {}
     t0 = time.time()
+    # cap=0 is the TRUE uncapped plan (plain self-join: no size
+    # window, no persist, no stats job) — the honest control
     pairs = minhash_dedup_pairs(
-        df, threshold=0.5, cap=cap if cap is not None else 10**9, skew_stats=stats
+        df,
+        threshold=0.5,
+        cap=cap if cap is not None else 0,
+        skew_stats=stats if cap is not None else None,
     ).persist()
     n_pairs = pairs.count()
     pair_sec = round(time.time() - t0, 2)

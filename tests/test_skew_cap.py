@@ -40,6 +40,8 @@ def _planted(spark, n_copies=N_COPIES):
 
 
 def test_capped_self_join_star_bounds_and_stats(spark):
+    from pytod_spark.operators.skew import DEFAULT_N_HUBS
+
     banded = spark.createDataFrame(
         [(1, i) for i in range(100)] + [(2, 200), (2, 201), (2, 202)],
         "band_key long, doc_id long",
@@ -48,10 +50,16 @@ def test_capped_self_join_star_bounds_and_stats(spark):
     pairs = capped_self_join_pairs(
         banded, ["band_key"], "doc_id", cap=CAP, stats=stats
     ).collect()
-    # hot key 1: star of 99 pairs; cold key 2: C(3,2) = 3 exact pairs
+    # hot key 1: K-hub stars, <= n_hubs * 100 pairs (vs C(100,2)=4950);
+    # cold key 2: C(3,2) = 3 exact pairs
     assert stats["hot_keys"] == 1 and stats["hot_rows"] == 100
-    got_hot = [(r["doc_a"], r["doc_b"]) for r in pairs if r["doc_b"] < 200]
-    assert sorted(got_hot) == [(0, i) for i in range(1, 100)]
+    got_hot = {(r["doc_a"], r["doc_b"]) for r in pairs if r["doc_b"] < 200}
+    assert len(got_hot) <= DEFAULT_N_HUBS * 100
+    # every hot-bucket member appears in at least one pair
+    touched = {d for p in got_hot for d in p}
+    assert touched == set(range(100))
+    # pairs are oriented and self-free
+    assert all(a < b for a, b in got_hot)
     got_cold = sorted((r["doc_a"], r["doc_b"]) for r in pairs if r["doc_b"] >= 200)
     assert got_cold == [(200, 201), (200, 202), (201, 202)]
 
@@ -63,12 +71,47 @@ def test_capped_self_join_carry_cols(spark):
     pairs = capped_self_join_pairs(
         banded, ["k"], "doc_id", cap=2, carry_cols=["payload"]
     ).collect()
-    # star: center doc 0 (payload 100) paired with 1..4
-    assert sorted((r["doc_a"], r["doc_b"]) for r in pairs) == [
-        (0, i) for i in range(1, 5)
-    ]
+    assert pairs, "hot bucket must emit star pairs"
+    # carry values follow the a/b orientation regardless of which side
+    # the hub landed on
     for r in pairs:
-        assert r["payload_a"] == 100 and r["payload_b"] == 100 + r["doc_b"]
+        assert r["doc_a"] < r["doc_b"]
+        assert r["payload_a"] == 100 + r["doc_a"]
+        assert r["payload_b"] == 100 + r["doc_b"]
+    # every member is connected
+    touched = {d for r in pairs for d in (r["doc_a"], r["doc_b"])}
+    assert touched == set(range(5))
+
+
+def test_capped_star_survives_refine_dropping_one_hub(spark):
+    """The round-4 review's adversarial case: the bucket's min-id row
+    is a below-threshold collision, so a downstream refine drops every
+    pair touching it. A single-hub star would lose the whole bucket;
+    K hubs keep the remaining members connected through another hub."""
+    banded = spark.createDataFrame(
+        [(1, i) for i in range(60)], "band_key long, doc_id long"
+    )
+    pairs = capped_self_join_pairs(banded, ["band_key"], "doc_id", cap=8)
+    # refine rejects doc 0 (the global min id) against everyone
+    refined = pairs.where((F.col("doc_a") != 0) & (F.col("doc_b") != 0))
+    cc = connected_components(refined).collect()
+    clusters = {r["node"]: r["cluster_id"] for r in cc}
+    survivors = {i for i in range(1, 60) if i in clusters}
+    assert len(survivors) >= 58, "non-rejected members must stay in the graph"
+    assert len({clusters[i] for i in survivors}) == 1, (
+        "losing one hub to the refine must not shatter the bucket"
+    )
+
+
+def test_cap_zero_is_plain_exact_self_join(spark):
+    banded = spark.createDataFrame(
+        [(1, i) for i in range(40)], "band_key long, doc_id long"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in capped_self_join_pairs(banded, ["band_key"], "doc_id", cap=0).collect()
+    )
+    assert got == [(a, b) for a in range(40) for b in range(a + 1, 40)]
 
 
 def test_minhash_planted_cluster_linear_and_connected(spark):
@@ -80,7 +123,7 @@ def test_minhash_planted_cluster_linear_and_connected(spark):
     n_pairs = pairs.count()
     assert stats["hot_keys"] >= 1, "planted cluster must trip the cap"
     # linear, not quadratic: the uncapped plan emits C(600,2) ~ 180k
-    assert n_pairs < 3 * N_COPIES
+    assert n_pairs < 4 * N_COPIES
     cc = connected_components(pairs).collect()
     cluster = {r["node"]: r["cluster_id"] for r in cc}
     assert all(cluster[i] == 0 for i in range(N_COPIES)), (
@@ -97,7 +140,7 @@ def test_simhash_planted_cluster_linear_and_exact_hamming(spark):
     ).persist()
     n_pairs = pairs.count()
     assert stats["hot_keys"] >= 1
-    assert n_pairs < 3 * N_COPIES
+    assert n_pairs < 4 * N_COPIES
     # per-pair exactness survives: identical docs have Hamming 0
     assert pairs.where(F.col("hamming") != 0).where(
         (F.col("doc_a") < N_COPIES) & (F.col("doc_b") < N_COPIES)
@@ -116,7 +159,9 @@ def test_winnow_planted_cluster_linear(spark):
     ).persist()
     n_pairs = pairs.count()
     assert stats["hot_keys"] >= 1
-    assert n_pairs < 3 * 200
+    # linear in cluster size (K hubs x members, plus background-doc
+    # collisions), far below the ~C(200,2)=19.9k quadratic plan
+    assert n_pairs < 6 * 200
     cc = connected_components(pairs.select("doc_a", "doc_b")).collect()
     cluster = {r["node"]: r["cluster_id"] for r in cc}
     assert all(cluster[i] == 0 for i in range(200))
@@ -140,7 +185,7 @@ def test_rp_lsh_planted_cluster_linear(spark):
     ).persist()
     n_pairs = pairs.count()
     assert stats["hot_keys"] >= 1
-    assert n_pairs < 3 * n_dup
+    assert n_pairs < 4 * n_dup
     # refine stays exact per pair
     assert pairs.where(F.col("cos") < 0.9).count() == 0
     cc = connected_components(pairs.select("doc_a", "doc_b")).collect()
@@ -152,7 +197,7 @@ def test_rp_lsh_planted_cluster_linear(spark):
 @pytest.mark.parametrize("fn_name", ["minhash", "simhash", "winnow"])
 def test_high_cap_is_bit_identical_to_uncapped(spark, fn_name):
     """With a cap no bucket reaches, the capped plan IS the exact plan
-    (the planner shortcut returns the cold branch only) — this is the
+    (the hot branch filters to empty at runtime) — this is the
     invariant that keeps the sf0.01/sf0.1 DuckDB oracle rows green."""
     body = "alpha beta gamma delta epsilon zeta"
     rows = [(i, body + f" tail{i % 3}", "en") for i in range(30)]
