@@ -7,7 +7,7 @@ Five families, all DataFrame-native:
 * MinHash + LSH    — shingle -> 60-bit hash -> k permutations -> band
                      buckets -> candidate join -> exact verify; the
                      scale path (candidates only, never all pairs)
-* SimHash          — 16-bit token-hash sign aggregate + Hamming join
+* SimHash          — 60-bit token-hash sign aggregate + Hamming join
 * embedding cosine — see operators/similarity.py
 
 Hashes use functions.text.md5_hash60 so every step is reproducible in
@@ -183,9 +183,32 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over tokens: bit_i = sign of sum over tokens of
-    (+1 if token-hash bit i else -1); ties (sum == 0) resolve to 0."""
+#: Default SimHash width. md5_hash60 supplies 60 reproducible bits;
+#: 16 bits (the round-2/3 width) is statistically broken at corpus
+#: scale — only 65,536 distinct hash values, so at ~10^5+ docs
+#: unrelated documents collide within Hamming<=2 by pigeonhole, AND
+#: the pigeonhole chunks' value domain is <= 2^6, so every chunk
+#: bucket outgrows the hot-bucket cap as the corpus grows (the cap
+#: becomes the steady state instead of an anomaly). 60 bits gives
+#: 2^20-value chunk domains at max_hamming=2: hot buckets then only
+#: arise from true mass-duplicate clusters, which the K-hub star +
+#: Hamming recheck handle exactly.
+SIMHASH_BITS = 60
+
+
+def simhash_bits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """``bits``-wide SimHash over tokens: bit_i = sign of sum over
+    tokens of (+1 if token-hash bit i else -1); ties (sum == 0)
+    resolve to 0. One explode + one groupBy with ``bits`` partial-
+    aggregating sums (map-side combine); the sign/pack step is a
+    scalar projection."""
+    if not 0 < bits <= 60:  # md5_hash60 supplies 60 well-mixed bits
+        raise ValueError(f"bits must be in 1..60, got {bits}")
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     h = md5_hash60(F.col("tok"))
     hashed = tok.select(id_col, h.alias("h"))
@@ -193,14 +216,20 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{i}")
-        for i in range(16)
+        for i in range(bits)
     ]
     sums = hashed.groupBy(id_col).agg(*bit_sums)
     sim = None
-    for i in range(16):
+    for i in range(bits):
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
         sim = term if sim is None else sim + term
     return sums.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash (kept for the round-2/3 parity tests; too narrow
+    for corpus scale — see SIMHASH_BITS)."""
+    return simhash_bits(df, id_col, text_col, bits=16)
 
 
 def simhash_pairs(
@@ -211,11 +240,14 @@ def simhash_pairs(
     group_cols: Iterable[str] = (),
     cap: int | None = None,
     skew_stats: dict | None = None,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance within groups.
 
     Scale shape: pigeonhole banding, not all-pairs. A pair with
-    Hamming distance <= h differs in at most h of the 16 bits, so when
+    Hamming distance <= h differs in at most h of the ``bits`` bits
+    (default SIMHASH_BITS=60 — wide enough that chunk-value domains
+    are ~2^20, so only true mass-duplicate clusters go hot), so when
     the hash is split into h+1 disjoint chunks at least one chunk is
     bit-identical (pigeonhole). Each doc therefore emits h+1
     (chunk_id, chunk_value) keys; the join is an equi-join on
@@ -230,11 +262,11 @@ def simhash_pairs(
     from .skew import DEFAULT_BUCKET_CAP, capped_self_join_pairs
 
     group_cols = list(group_cols)
-    sh = simhash16(df, id_col, text_col)
+    sh = simhash_bits(df, id_col, text_col, bits=bits)
     if group_cols:
         sh = sh.join(df.select(id_col, *group_cols), id_col)
     n_chunks = max_hamming + 1
-    base_w, extra = divmod(16, n_chunks)
+    base_w, extra = divmod(bits, n_chunks)
     chunks, start = [], 0
     for i in range(n_chunks):
         w = base_w + (1 if i < extra else 0)

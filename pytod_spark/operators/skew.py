@@ -67,9 +67,9 @@ log = logging.getLogger(__name__)
 # keeps output linear. Small-SF catalogue buckets are orders of
 # magnitude below this (measured at sf0.1 with /tmp-style probe, see
 # BENCH/NOTES.md: max MinHash band bucket 14, max winnow fingerprint
-# 11, max SimHash chunk bucket 632, max RP-LSH band bucket 81), so
-# default-capped operators stay bit-identical to their uncapped
-# DuckDB oracles at test scale.
+# 11, max SimHash chunk bucket 29 (60-bit hash), max RP-LSH band
+# bucket 81), so default-capped operators stay bit-identical to their
+# uncapped DuckDB oracles at test scale.
 DEFAULT_BUCKET_CAP = 4096
 
 # Hubs per hot bucket. One hub preserves connectivity only until the

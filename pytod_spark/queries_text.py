@@ -761,10 +761,15 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def _sql_simhash_pairs() -> str:
+    from .operators.dedup import SIMHASH_BITS
+
     sums = ",\n    ".join(
-        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(16)
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
     )
-    sim = " + ".join(f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+    sim = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
     return f"""
 WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
 h AS (SELECT doc_id, {_duck_hash60('tok')} AS h FROM tok),

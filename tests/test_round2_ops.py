@@ -158,11 +158,11 @@ def test_low_prec_range_join_matches_exact(spark):
 
 
 def test_simhash_banded_equals_allpairs(spark, docs):
-    from pytod_spark.operators.dedup import simhash16, simhash_pairs
+    from pytod_spark.operators.dedup import simhash_bits, simhash_pairs
 
     out = simhash_pairs(docs, max_hamming=2).toPandas()
-    # brute-force reference on the collected signatures
-    sh = simhash16(docs).toPandas()
+    # brute-force reference on the collected signatures (same width)
+    sh = simhash_bits(docs).toPandas()
     sigs = dict(zip(sh["doc_id"], sh["simhash"]))
     ids = sorted(sigs)
     exp = {
