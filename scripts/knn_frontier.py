@@ -39,8 +39,13 @@ def run(spark, n: int, d: int, k: int, block_size: int, reps: int) -> dict:
     times = []
     for _ in range(reps):
         t0 = time.time()
+        # broadcast_elems=0: this probe measures the TILE frontier, so
+        # pin the tile path — at 250k x 20 the default gate would
+        # silently take the broadcast fast path and the reported
+        # n_tiles would describe a plan that never ran
         knn_join(
-            df, k, block_size=block_size, precision="low", n_rows=n
+            df, k, block_size=block_size, precision="low", n_rows=n,
+            broadcast_elems=0,
         ).select("row_id").write.format("noop").mode("overwrite").save()
         times.append(round(time.time() - t0, 2))
     df.unpersist()
