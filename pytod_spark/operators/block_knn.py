@@ -266,9 +266,12 @@ def _broadcast_knn(
         F.col(id_col).cast("long").alias("__id"),
         F.col(features_col).cast("array<double>").alias("__feat"),
     )
-    rows = base.collect()
-    ids = np.fromiter((r["__id"] for r in rows), dtype=np.int64, count=len(rows))
-    M = np.stack([np.asarray(r["__feat"], dtype=np.float64) for r in rows])
+    # Arrow collection: .collect() would materialize one Python Row +
+    # list per record (~20-50x the matrix's 64 MB budget in driver
+    # heap); toPandas ships Arrow batches and stacks straight to numpy
+    pdf = base.toPandas()
+    ids = pdf["__id"].to_numpy(dtype=np.int64)
+    M = np.stack(pdf["__feat"].to_numpy()).astype(np.float64, copy=False)
     order = np.argsort(ids, kind="stable")
     ids, M = ids[order], np.ascontiguousarray(M[order])
     bc = df.sparkSession.sparkContext.broadcast((ids, M))
@@ -342,8 +345,11 @@ def knn_join(
     # expressed as a cogroup so each tile is one Arrow kernel call.
     left, right, lkeys, rkeys = tile_sides(df, id_col, features_col, group_cols, n_blocks)
 
+    # group columns keep their INPUT types (an int cluster_id from an
+    # IVF assignment must not come back as string)
     out_schema = ", ".join(
-        [f"`{c}` string" for c in group_cols] + ["__id long", "nbr_id long", "dist double"]
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in group_cols]
+        + ["__id long", "nbr_id long", "dist double"]
     )
     kernel = _tile_kernel_factory(k, p, precision, largest)
     if group_cols:
@@ -390,7 +396,12 @@ def knn_scores_df(
 
     Parity: pytod/models/knn.py:100-108 — knn over k+1 (self in slot 1),
     score = last column.
-    """
+
+    Rows in a group SMALLER than n_neighbors+1 (out-of-contract for
+    the reference, whose numpy argpartition would just error) score
+    against their farthest AVAILABLE neighbor instead of silently
+    vanishing from the output — a rank clamp via one more window over
+    the partitioning the rank already used (no new exchange)."""
     pairs = knn_join(
         df,
         n_neighbors + 1,
@@ -401,8 +412,11 @@ def knn_scores_df(
         n_rows=n_rows,
         precision=precision,
     )
-    return pairs.where(F.col("rn") == n_neighbors + 1).select(
-        *group_cols, id_col, F.col("dist").alias("score")
+    w = Window.partitionBy(*group_cols, id_col)
+    return (
+        pairs.withColumn("__maxrn", F.max("rn").over(w))
+        .where(F.col("rn") == F.least(F.lit(n_neighbors + 1), F.col("__maxrn")))
+        .select(*group_cols, id_col, F.col("dist").alias("score"))
     )
 
 
@@ -434,6 +448,10 @@ def farthest_scores_df(
         precision=precision,
         largest=True,
     )
-    return pairs.where(F.col("rn") == k).select(
-        *group_cols, id_col, F.col("dist").alias("score")
+    # same small-group rank clamp as knn_scores_df
+    w = Window.partitionBy(*group_cols, id_col)
+    return (
+        pairs.withColumn("__maxrn", F.max("rn").over(w))
+        .where(F.col("rn") == F.least(F.lit(k), F.col("__maxrn")))
+        .select(*group_cols, id_col, F.col("dist").alias("score"))
     )

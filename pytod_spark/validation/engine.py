@@ -109,6 +109,18 @@ class ValidationSuite:
             return set()
         return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
 
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        """True when ``path`` holds at least one parquet file. A
+        partitioned write whose frame was EMPTY (the healthy
+        zero-violation case) emits only _SUCCESS — reading it back
+        would die on schema inference, so the resume path must treat
+        it as 'no rows', not crash."""
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def _write_partitioned(
         self, df: DataFrame, run_dir: str, name: str, compact: bool = True,
         n_values: int | None = None,
@@ -189,6 +201,18 @@ class ValidationSuite:
                         [{**v, "frame": "reference"} for v in rviol]
                     )
 
+        if not resume and os.path.isdir(run_dir):
+            # resume=False into an existing run_dir means START OVER:
+            # dynamic partition overwrite only replaces partitions the
+            # new run writes, so a partition whose re-run produces ZERO
+            # violations would otherwise keep its stale violation files
+            import shutil
+
+            for sub in (
+                "markers", "stats", "uniqueness_violations", "ri_violations",
+                "drift_scores", "drift_violations", "dist_drift", "verdicts",
+            ):
+                shutil.rmtree(os.path.join(run_dir, sub), ignore_errors=True)
         os.makedirs(os.path.join(run_dir, "markers"), exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         pcol = self.partition_col
@@ -211,6 +235,16 @@ class ValidationSuite:
         tp = time.time()
         if pending:
             work = df.where(F.col(pcol).isin(pending))
+            if "row_id" not in work.columns:
+                # the corpus contract is (repo, path, commit, lang,
+                # content) — row_id is an engine-internal row handle,
+                # synthesized deterministically (NOT
+                # monotonically_increasing_id, which changes on
+                # recompute) when the source doesn't carry one
+                work = work.withColumn(
+                    "row_id",
+                    F.xxhash64(*[F.col(c) for c in self.key_cols], F.col("content")),
+                )
             # drop the raw content before persisting: every downstream
             # check needs only keys + invariant hash + numeric features
             feats = derive_features(work).select(
@@ -462,40 +496,46 @@ class ValidationSuite:
             ]
         else:
             # resume / partial path: rebuild globals from persisted
-            # stage-A output (the checkpoint contract)
-            scores = spark.read.parquet(os.path.join(run_dir, "drift_scores"))
-            thr = scores.agg(
-                F.percentile_approx(
-                    "score_z", 1 - self.contamination, 10000
-                ).alias("t")
-            ).collect()[0]["t"]
-            labeled = scores.withColumn(
-                "label", (F.col("score_z") > F.lit(thr)).cast("int")
-            )
-            self._write_partitioned(
-                labeled.where(F.col("label") == 1).withColumn(
-                    "threshold", F.lit(thr)
-                ),
-                run_dir,
-                "drift_violations",
-            )
-            drift = {
-                r[pcol]: r
-                for r in labeled.groupBy(pcol).agg(
-                    F.count(F.lit(1)).alias("n"), F.sum("label").alias("o")
-                ).collect()
-            }
-            uniq = {
-                r[pcol]: r
-                for r in spark.read.parquet(
-                    os.path.join(run_dir, "uniqueness_violations")
-                ).groupBy(pcol).agg(
-                    F.count(F.lit(1)).alias("k"),
-                    F.sum(F.col("n_copies") - 1).alias("x"),
-                ).collect()
-            }
+            # stage-A output (the checkpoint contract). Every read is
+            # gated on _has_parquet: a zero-row artifact (healthy
+            # zero-violation run) has no files to infer a schema from.
+            drift = {}
+            if self._has_parquet(os.path.join(run_dir, "drift_scores")):
+                scores = spark.read.parquet(os.path.join(run_dir, "drift_scores"))
+                thr = scores.agg(
+                    F.percentile_approx(
+                        "score_z", 1 - self.contamination, 10000
+                    ).alias("t")
+                ).collect()[0]["t"]
+                labeled = scores.withColumn(
+                    "label", (F.col("score_z") > F.lit(thr)).cast("int")
+                )
+                self._write_partitioned(
+                    labeled.where(F.col("label") == 1).withColumn(
+                        "threshold", F.lit(thr)
+                    ),
+                    run_dir,
+                    "drift_violations",
+                )
+                drift = {
+                    r[pcol]: r
+                    for r in labeled.groupBy(pcol).agg(
+                        F.count(F.lit(1)).alias("n"), F.sum("label").alias("o")
+                    ).collect()
+                }
+            uniq = {}
+            if self._has_parquet(os.path.join(run_dir, "uniqueness_violations")):
+                uniq = {
+                    r[pcol]: r
+                    for r in spark.read.parquet(
+                        os.path.join(run_dir, "uniqueness_violations")
+                    ).groupBy(pcol).agg(
+                        F.count(F.lit(1)).alias("k"),
+                        F.sum(F.col("n_copies") - 1).alias("x"),
+                    ).collect()
+                }
             orphans = {}
-            if parent is not None and os.path.isdir(
+            if parent is not None and self._has_parquet(
                 os.path.join(run_dir, "ri_violations")
             ):
                 orphans = {
@@ -505,7 +545,7 @@ class ValidationSuite:
                     ).groupBy(pcol).count().collect()
                 }
             dist = {}
-            if os.path.isdir(os.path.join(run_dir, "dist_drift")):
+            if self._has_parquet(os.path.join(run_dir, "dist_drift")):
                 dist = {
                     r[pcol]: r
                     for r in spark.read.parquet(

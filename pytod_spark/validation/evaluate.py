@@ -51,7 +51,11 @@ def roc_auc(scored: DataFrame, score_col: str = "score", label_col: str = "y") -
         F.sum("neg").alias("n"),
     )
     return agg.select(
-        F.round(F.col("u") / (F.col("p") * F.col("n")), 4).alias("roc")
+        # p * n as double: a long*long product overflows past ~3e9 x
+        # 3e9 rows (ANSI mode throws, non-ANSI wraps negative)
+        F.round(
+            F.col("u") / (F.col("p").cast("double") * F.col("n").cast("double")), 4
+        ).alias("roc")
     )
 
 

@@ -52,6 +52,10 @@ def _token_stats_batch(content: pd.Series) -> pd.Series:
     the per-row loop does one whitespace tokenize + Counter (both
     C-backed; ~10x faster than a pandas explode/factorize
     formulation whose object-dtype overhead dominates)."""
+    # NULL content rows reach this kernel (the schema contract
+    # deliberately ignores nullability) — treat them as empty docs
+    # instead of dying on None.lower() deep inside an Arrow batch
+    content = content.fillna("")
     digits = content.str.count(r"[0-9]").to_numpy()
     newlines = content.str.count("\n").to_numpy()
     lengths = content.str.len().to_numpy()
@@ -96,8 +100,13 @@ def token_entropy_udf():
 
 
 def derive_features(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Append the invariant hash + the drift feature vector."""
-    c = F.col(content_col)
+    """Append the invariant hash + the drift feature vector.
+
+    NULL content is treated as the empty document throughout (the
+    schema contract deliberately ignores nullability): the feature
+    vector stays numeric and the invariant hash stays non-NULL, so a
+    NULL row can never silently drop out of an equality join."""
+    c = F.coalesce(F.col(content_col), F.lit(""))
     out = (
         df.withColumn("content_sha256", F.sha2(c, 256))
         .withColumn("content_length", F.length(c).cast("double"))

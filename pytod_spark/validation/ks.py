@@ -79,8 +79,14 @@ def ks_report_from_counts(
     # plain / throw; the NULLs land in the one_sided branch below
     f_ref = F.try_divide(F.col("__r_lt") + F.col("__r"), F.col("__tr"))
     f_cur = F.try_divide(F.col("__c_lt") + F.col("__c"), F.col("__tc"))
+    # the product as double: __tr * __tc as long*long overflows once
+    # both sides exceed ~3e9 rows (ANSI throws ARITHMETIC_OVERFLOW,
+    # non-ANSI wraps negative -> NaN crit)
     crit = F.lit(_c_alpha(alpha)) * F.sqrt(
-        F.try_divide(F.col("__tr") + F.col("__tc"), F.col("__tr") * F.col("__tc"))
+        F.try_divide(
+            (F.col("__tr") + F.col("__tc")).cast("double"),
+            F.col("__tr").cast("double") * F.col("__tc").cast("double"),
+        )
     )
     agg = (
         cum.join(F.broadcast(tot), group_cols)

@@ -153,3 +153,31 @@ def test_farthest_scores_exact_and_lowprec(spark, f1_df, f1_fixture):
     )
     actual_low = np.array([low[i] for i in range(len(expected))])
     np.testing.assert_allclose(actual_low, expected, rtol=1e-12, atol=1e-12)
+
+
+def test_small_group_scores_clamp_not_vanish(spark):
+    """Groups smaller than n_neighbors+1 score against their farthest
+    AVAILABLE neighbor instead of silently dropping out (round-4
+    review): every input row must come back with a score."""
+    from pytod_spark.operators.block_knn import farthest_scores_df, knn_scores_df
+
+    rows = [(g * 10 + i, float(g), [float(i), float(g)])
+            for g in range(3) for i in range(2 + g)]  # group sizes 2, 3, 4
+    df = spark.createDataFrame(rows, "row_id long, grp double, features array<double>")
+    scored = knn_scores_df(df, n_neighbors=5, group_cols=["grp"]).collect()
+    assert len(scored) == len(rows), "no row may vanish for small groups"
+    far = farthest_scores_df(df, k=5, group_cols=["grp"]).collect()
+    assert len(far) == len(rows)
+
+
+def test_grouped_knn_join_keeps_group_column_type(spark):
+    """Cogroup output schema must carry the INPUT group-column type
+    (an int cluster id must not come back as string)."""
+    from pytod_spark.operators.block_knn import knn_join
+
+    rows = [(i, i % 2, [float(i % 7), float(i % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "row_id long, cluster_id int, features array<double>")
+    out = knn_join(df, 3, group_cols=["cluster_id"], broadcast_elems=0, block_size=16)
+    assert dict(out.dtypes)["cluster_id"] == "int"
+    got = out.limit(5).collect()
+    assert got and all(isinstance(r["cluster_id"], int) for r in got)

@@ -278,6 +278,82 @@ def test_schema_gate_covers_reference_snapshot(spark, corpus, parent, tmp_path):
     assert not os.path.isdir(str(tmp_path / "run_badref" / "markers"))
 
 
+def _clean_corpus(spark, n=600):
+    """Hand-built corpus with ZERO violations: unique keys, no
+    orphans (parent derived from it), benign content."""
+    rows = [
+        (i, f"repo{i % 7}", f"src/f{i}.py", f"c{i % 7}", ["python", "go", "rust"][i % 3],
+         f"def f{i}():\n    return {i} + {i*3}\n" * (2 + i % 5))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "row_id long, repo string, path string, commit string, "
+              "lang string, content string")
+    parent = df.select("repo", "commit").distinct()
+    return df, parent
+
+
+def test_resume_into_zero_violation_run_dir_does_not_crash(spark, tmp_path):
+    """The healthy zero-violation case: run 1 writes EMPTY
+    uniqueness/ri violation artifacts (only _SUCCESS — no parquet
+    files to infer a schema from); a resumed stage-B rebuild must
+    read them as 'no rows', not die on schema inference."""
+    df, parent = _clean_corpus(spark)
+    run_dir = str(tmp_path / "run_zero")
+    suite = ValidationSuite(contamination=0.1)
+    m1 = suite.run(spark, df, run_dir, parent=parent)
+    assert m1["partitions_resumed_skip"] == 0
+    # second run, resume=True, all partitions done -> pure stage-B
+    # rebuild from the persisted (possibly empty) artifacts
+    m2 = suite.run(spark, df, run_dir, parent=parent)
+    assert m2["partitions_resumed_skip"] == 3
+    verdicts = spark.read.parquet(os.path.join(run_dir, "verdicts")).collect()
+    assert {v["lang"] for v in verdicts} == {"python", "go", "rust"}
+    for v in verdicts:
+        assert v["uniqueness_pass"] and v["ri_pass"]
+
+
+def test_restart_clears_stale_violation_partitions(spark, corpus, parent, tmp_path):
+    """resume=False into an existing run_dir must start over: dynamic
+    partition overwrite alone would keep a partition's old violation
+    files when the re-run produces zero rows for it."""
+    run_dir = str(tmp_path / "run_restart")
+    suite = ValidationSuite(contamination=0.1)
+    suite.run(spark, corpus.drop("is_anomaly", "is_orphan"), run_dir,
+              parent=parent, resume=False)
+    n_viol_1 = spark.read.parquet(
+        os.path.join(run_dir, "uniqueness_violations")).count()
+    assert n_viol_1 > 0, "fixture must plant duplicate keys"
+    # fixed upstream: dedupe the keys, re-run into the SAME dir
+    fixed = (corpus.drop("is_anomaly", "is_orphan")
+             .dropDuplicates(["repo", "path", "commit"]))
+    suite.run(spark, fixed, run_dir, parent=parent, resume=False)
+    assert not ValidationSuite._has_parquet(
+        os.path.join(run_dir, "uniqueness_violations")
+    ), "stale violation partitions must be wiped on restart"
+    verdicts = spark.read.parquet(os.path.join(run_dir, "verdicts")).collect()
+    assert all(v["uniqueness_pass"] for v in verdicts)
+
+
+def test_null_content_and_missing_row_id_tolerated(spark, tmp_path):
+    """NULL content rows must flow through the Arrow feature kernel as
+    empty documents (not AttributeError), and a source without the
+    engine-internal row_id column gets one synthesized."""
+    df, parent = _clean_corpus(spark, n=400)
+    df = df.drop("row_id")
+    df = df.withColumn(
+        "content",
+        F.when(F.col("path") == "src/f3.py", F.lit(None)).otherwise(F.col("content")),
+    )
+    m = ValidationSuite(contamination=0.1).run(
+        spark, df, str(tmp_path / "run_null"), parent=parent)
+    assert m["stage_a_rows"] == 400
+    feats = derive_features(df.limit(50))
+    row = feats.where(F.col("path") == "src/f3.py").first()
+    assert row["content_length"] == 0.0 and row["token_count"] == 0.0
+    assert row["content_sha256"] is not None
+
+
 def test_schema_contract_gate(spark, corpus, tmp_path):
     """The engine's zero-job schema gate: missing / mistyped contract
     columns fail before any data is read; extra columns are fine
