@@ -48,7 +48,11 @@ def _abod_batch_kernel(k: int):
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos[:, c] = num / den
             score = -np.nan_to_num(cos.var(axis=1, ddof=1))
-            out = pdf[["__keyid"]].copy()
+            # echo everything except the feature payloads: group
+            # columns ride THROUGH the kernel (a join-back on id alone
+            # would fan out / misattribute when row ids repeat across
+            # groups)
+            out = pdf.drop(columns=["__feat", "nl"]).copy()
             out["score"] = score
             yield out
 
@@ -106,13 +110,13 @@ class ABOD(SparkDetector):
         ).withColumn("__keyid", F.col(id_col))
 
         scored = joined.select(*group_cols, "__keyid", "__feat", "nl")
-        out_schema = "__keyid long, score double"
+        # group columns pass through the kernel with their INPUT types
+        out_schema = ", ".join(
+            [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in group_cols]
+            + ["__keyid long", "score double"]
+        )
         kern = _abod_batch_kernel(k)
         result = scored.mapInPandas(kern, schema=out_schema)
-        if group_cols:
-            # reattach group columns by joining back on id
-            ids = df.select(*group_cols, F.col(id_col).alias("__keyid"))
-            result = result.join(ids, on="__keyid")
         return result.select(*group_cols, F.col("__keyid").alias(id_col), "score")
 
     def _kernel_fn(self):

@@ -61,8 +61,14 @@ def grouped_kernel_scores(
             out.insert(i, c, key[i])
         return out
 
+    # group/id columns keep their INPUT types (mirrors the distributed
+    # path; a string doc_id or int cluster_id must not be coerced)
     schema = ", ".join(
-        [f"`{c}` string" for c in group_cols] + [f"{id_col} long", "score double"]
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in group_cols]
+        + [
+            f"`{id_col}` {df.schema[id_col].dataType.simpleString()}",
+            "score double",
+        ]
     )
     if group_cols:
         return df.groupBy(*group_cols).applyInPandas(kern, schema=schema)

@@ -205,9 +205,11 @@ def rp_lsh_candidate_pairs(
     cap = cap if cap is not None else DEFAULT_BUCKET_CAP
     b = rp_lsh_buckets(df, dim, n_planes, id_col, features_col, seed)
     if n_bands <= 1:
+        # .distinct(): the capped join's output is NOT deduplicated
+        # (hot-bucket hub-hub pairs arrive in both orientations)
         return capped_self_join_pairs(
             b, ["bucket"], id_col, cap=cap, stats=skew_stats
-        )
+        ).distinct()
     base_w, extra = divmod(n_planes, n_bands)
     chunks, start = [], 0
     for i in range(n_bands):
@@ -246,6 +248,10 @@ def choose_lsh_params(
         pw = p**w
         if pw >= 1.0:
             b = 1
+        elif 1.0 - pw >= 1.0:
+            # pw underflows to 0 in float (threshold at/near -1): a
+            # band never matches, no finite b reaches the target
+            continue
         else:
             b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pw))
         if w * b > max_planes:
@@ -253,6 +259,13 @@ def choose_lsh_params(
         rand_rate = 1.0 - (1.0 - 0.5**w) ** b
         if best is None or rand_rate < best[0]:
             best = (rand_rate, w, b)
+    if best is None:
+        raise ValueError(
+            f"sign-LSH cannot reach recall {target_recall} at cosine "
+            f"threshold {threshold} within max_planes={max_planes}; raise "
+            "max_planes or use the exact path (cosine_pairs / "
+            "cosine_topk_join)"
+        )
     _, w, b = best
     return w * b, b
 
@@ -287,20 +300,18 @@ def ann_neardup_pairs(
         df, dim, n_planes, id_col, features_col, seed, n_bands,
         cap=cap, skew_stats=skew_stats,
     )
-    feats = F.col(features_col).cast("array<double>")
-    norm = F.sqrt(
-        F.aggregate(feats, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    unit = F.transform(feats, lambda x: x / F.when(norm == 0, F.lit(1.0)).otherwise(norm))
-    u = df.select(F.col(id_col), unit.alias("u"))
+    # persisted unit frame (one normalize pass): the inline
+    # aggregate-inside-transform expression re-inlines into BOTH join
+    # sides without the materialization barrier (_unit_frame docstring)
+    uf = _unit_frame(df, id_col, features_col)
     dot = F.aggregate(
         F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        cands.join(u.select(F.col(id_col).alias("doc_a"), F.col("u").alias("u_a")), "doc_a")
-        .join(u.select(F.col(id_col).alias("doc_b"), F.col("u").alias("u_b")), "doc_b")
+        cands.join(uf.select(F.col("__id").alias("doc_a"), F.col("__u").alias("u_a")), "doc_a")
+        .join(uf.select(F.col("__id").alias("doc_b"), F.col("__u").alias("u_b")), "doc_b")
         .withColumn("cos", dot)
         .where(F.col("cos") >= float(threshold))
         .select("doc_a", "doc_b", "cos")
@@ -332,18 +343,15 @@ def ann_cosine_topk(
     directed = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    feats = F.col(features_col).cast("array<double>")
-    norm = F.sqrt(F.aggregate(feats, F.lit(0.0), lambda acc, x: acc + x * x))
-    unit = F.transform(feats, lambda x: x / F.when(norm == 0, F.lit(1.0)).otherwise(norm))
-    u = df.select(F.col(id_col), unit.alias("u"))
+    uf = _unit_frame(df, id_col, features_col)  # one normalize pass, persisted
     dot = F.aggregate(
         F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     scored = (
-        directed.join(u.select(F.col(id_col).alias("doc_a"), F.col("u").alias("u_a")), "doc_a")
-        .join(u.select(F.col(id_col).alias("doc_b"), F.col("u").alias("u_b")), "doc_b")
+        directed.join(uf.select(F.col("__id").alias("doc_a"), F.col("__u").alias("u_a")), "doc_a")
+        .join(uf.select(F.col("__id").alias("doc_b"), F.col("__u").alias("u_b")), "doc_b")
         .select(
             F.col("doc_a").alias(id_col),
             F.col("doc_b").alias("nbr_id"),
@@ -399,7 +407,8 @@ def _assign_probes(u: DataFrame, centroids: np.ndarray, n_probe: int) -> DataFra
                 {"__id": pdf["__id"], "probes": list(order.astype(np.int32))}
             )
 
-    return u.mapInPandas(kernel, schema="__id long, probes array<int>")
+    id_type = u.schema["__id"].dataType.simpleString()
+    return u.mapInPandas(kernel, schema=f"__id {id_type}, probes array<int>")
 
 
 def _local_lloyd(U: np.ndarray, n_clusters: int, n_iters: int) -> np.ndarray:
@@ -450,13 +459,11 @@ def ivf_fit(
     the fit input is SUPPOSED to fit a driver collect."""
     u = unit if unit is not None else _unit_frame(df, id_col, features_col)
     if fits_broadcast_budget(df, features_col, budget=broadcast_elems):
-        rows = u.collect()
-        ids = np.fromiter(
-            (r["__id"] for r in rows), dtype=np.int64, count=len(rows)
-        )
-        U = np.stack([np.asarray(r["__u"], dtype=np.float64) for r in rows])
-        order = np.argsort(ids, kind="stable")
-        return _local_lloyd(np.ascontiguousarray(U[order]), n_clusters, n_iters)
+        # Arrow collection + pandas sort: type-agnostic over the id
+        # column (string ids sort fine) and no per-row Python objects
+        pdf = u.toPandas().sort_values("__id", kind="stable")
+        U = np.stack(pdf["__u"].to_numpy()).astype(np.float64, copy=False)
+        return _local_lloyd(np.ascontiguousarray(U), n_clusters, n_iters)
     first = u.orderBy("__id").limit(n_clusters).collect()
     C = np.array([r["__u"] for r in sorted(first, key=lambda r: r["__id"])])
     dim = C.shape[1]

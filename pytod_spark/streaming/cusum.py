@@ -80,13 +80,17 @@ def cusum_drift_stream(
         else:
             c0, n0 = 0.0, 0
         c, n = float(c0), int(n0)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(ts_col)
-            cs = _cusum_scan(pdf["label"].to_numpy(), k, c)
+        # the batch arrives as MULTIPLE Arrow chunks when a group
+        # exceeds arrow.maxRecordsPerBatch; the recurrence is
+        # ts-order-dependent, so sort ONCE across the whole batch —
+        # per-chunk sorts would scan interleaved ts ranges in arrival
+        # order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+            cs = _cusum_scan(batch["label"].to_numpy(), k, c)
             c = float(cs[-1])
-            n += len(pdf)
+            n += len(batch)
         state.update((c, n))
         yield pd.DataFrame(
             {

@@ -41,6 +41,14 @@ def fit_reference_model(
     st = ref.agg(
         F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n")
     ).collect()[0]
+    if not st["n"] or st["lo"] is None:
+        # empty / all-NULL reference windows are operationally normal
+        # (monitor started before the window filled) — fail with a
+        # clear message instead of float(None)
+        raise ValueError(
+            f"reference batch has no non-null '{value_col}' values — "
+            "cannot fit a drift model yet"
+        )
     lo, hi, n = float(st["lo"]), float(st["hi"]), int(st["n"])
     w = (hi - lo) / n_bins if hi > lo else 1.0
     # np.histogram bin semantics: right-open bins, hi lands in the last

@@ -181,3 +181,27 @@ def test_grouped_knn_join_keeps_group_column_type(spark):
     assert dict(out.dtypes)["cluster_id"] == "int"
     got = out.limit(5).collect()
     assert got and all(isinstance(r["cluster_id"], int) for r in got)
+
+
+def test_abod_grouped_repeating_ids_no_fanout(spark):
+    """Row ids restarting per group must not fan out / misattribute
+    ABOD scores (the kernel output now carries group columns through
+    instead of joining back on id alone)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in ("python", "java"):
+        X = rng.normal(loc=0.0 if g == "python" else 50.0, size=(30, 4))
+        rows += [(g, int(i), [float(v) for v in X[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "lang string, row_id long, features array<double>")
+    out = ABOD(n_neighbors=5, strategy="distributed").score_df(
+        df, group_cols=["lang"]).collect()
+    assert len(out) == 60, "one score per (group, id) — no fanout"
+    from pytod_spark.oracle.detectors import abod_scores as np_abod
+    for g in ("python", "java"):
+        grp = sorted((r for r in out if r["lang"] == g), key=lambda r: r["row_id"])
+        X = np.stack([r[2] for r in rows[:30]] if g == "python"
+                     else [r[2] for r in rows[30:]])
+        np.testing.assert_allclose(
+            np.array([r["score"] for r in grp]), np_abod(X, n_neighbors=5),
+            rtol=1e-7,
+        )

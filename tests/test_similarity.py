@@ -97,3 +97,42 @@ def test_ivf_topk_recall_vs_brute(spark):
     assert recall >= 0.8, f"recall {recall:.3f} of {len(brute)} true pairs"
     for pair in hits:
         assert abs(ivf[pair] - brute[pair]) < 1e-9
+
+
+def test_choose_lsh_params_degenerate_thresholds():
+    import pytest
+
+    # threshold -1: p = 0, no banding can reach the target -> clear error
+    with pytest.raises(ValueError, match="max_planes"):
+        S.choose_lsh_params(-1.0)
+    with pytest.raises(ValueError, match="max_planes"):
+        S.choose_lsh_params(-0.999)
+    # threshold 1: identical vectors, one 1-bit band would do
+    planes, bands = S.choose_lsh_params(1.0)
+    assert planes >= 1 and bands >= 1
+
+
+def test_single_band_pairs_deduplicated(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = [(i, (base + rng.standard_normal(8) * 1e-3).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "row_id long, features array<double>")
+    # cap low so the single bucket goes hot (hub-hub pairs arrive twice
+    # from the capped join without the distinct)
+    pairs = S.rp_lsh_candidate_pairs(df, dim=8, n_planes=6, n_bands=1, cap=8)
+    pdf = pairs.groupBy("doc_a", "doc_b").count()
+    assert pdf.where(F.col("count") > 1).count() == 0
+
+
+def test_ivf_topk_string_ids(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(f"doc-{i:03d}", rng.standard_normal(6).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "row_id string, features array<double>")
+    out = S.ivf_topk(df, k=3, n_clusters=4, n_probe=4, n_assign=4,
+                     id_col="row_id").collect()
+    assert out and all(isinstance(r["row_id"], str) for r in out)

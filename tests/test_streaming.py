@@ -194,3 +194,48 @@ def test_streaming_seen_filter(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.sql("select * from seen_t").collect())
     assert got == [5, 6, 7, 8, 9]
+
+
+def test_cusum_multi_chunk_batch_is_ts_ordered(spark, ref_df, tmp_path):
+    """A group bigger than arrow.maxRecordsPerBatch arrives as several
+    Arrow chunks; the order-dependent CUSUM scan must sort the WHOLE
+    batch by ts, not each chunk independently."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pytod_spark.streaming.cusum import _cusum_scan, cusum_drift_stream
+    from pytod_spark.streaming.drift_monitor import fit_reference_model, score_stream
+
+    model = fit_reference_model(ref_df, "value", contamination=0.1)
+    # drift early in ts, clean late — written in REVERSE ts order so
+    # chunk-local sorting would scan clean-before-drift
+    n = 400
+    rows = [("g", 99.0 if i < n // 2 else 45.0 + (i % 10), i)
+            for i in range(n)][::-1]
+    df = spark.createDataFrame(rows, "g string, value double, seq long")
+    df = df.withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("seq")))
+    src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = cusum_drift_stream(stream, model, "value", "g", target_rate=0.3)
+        q = (out.writeStream.format("memory").queryName("cusum_chunks")
+             .outputMode("update").option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    res = spark.sql("SELECT * FROM cusum_chunks").collect()[0]
+    # expected: the ts-sorted scan over the batch's labels
+    labels = (score_stream(spark.createDataFrame(sorted(rows, key=lambda r: r[2]),
+                                                 "g string, value double, seq long"),
+                           model, "value")
+              .orderBy("seq").select("label").toPandas()["label"].to_numpy())
+    expected = float(_cusum_scan(labels, 0.3, 0.0)[-1])
+    assert res["n_seen"] == n
+    assert abs(res["cusum"] - expected) < 1e-9
