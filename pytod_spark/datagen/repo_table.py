@@ -56,7 +56,12 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 def _uniform(seed: int, rid: np.ndarray, stream: int) -> np.ndarray:
     """Deterministic U[0,1) per row id for a given stream index."""
-    h = _mix64(rid.astype(np.uint64) ^ np.uint64((seed << 34) | (stream * 0x5DEECE66D)))
+    # mask to 64 bits BEFORE np.uint64: an unmasked Python int from a
+    # seed >= 2**29 (or negative) overflows the C-long conversion
+    h = _mix64(
+        rid.astype(np.uint64)
+        ^ np.uint64(((seed << 34) | (stream * 0x5DEECE66D)) & 0xFFFFFFFFFFFFFFFF)
+    )
     return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
@@ -83,13 +88,18 @@ def _batch_fields(seed: int, rid: np.ndarray, n_repos: int, commits_per_repo: in
     commit_idx = _randint(seed, rid, 6, commits_per_repo)
     commit_num = (repo_i * 1_000_003 + commit_idx * 7919) % (1 << 40)
 
+    # residue reduced mod the stride so small *_every values still
+    # inject (rid % 5 == 17 would never fire)
     is_orphan = (
-        (rid % orphan_every == 17) if orphan_every > 0 else np.zeros(len(rid), bool)
+        (rid % orphan_every == 17 % orphan_every)
+        if orphan_every > 0
+        else np.zeros(len(rid), bool)
     )
     orphan_num = (rid * 104729) % (1 << 40)
 
     is_anomaly = (
-        (rid % anomaly_every == 5) & (np.asarray(LANGS)[lang_i] == ANOMALY_LANG)
+        (rid % anomaly_every == 5 % anomaly_every)
+        & (np.asarray(LANGS)[lang_i] == ANOMALY_LANG)
         if anomaly_every > 0
         else np.zeros(len(rid), bool)
     )
@@ -212,7 +222,7 @@ def generate_repo_table(
                 }
             )
             if dup_every > 0:
-                dup = out[rid % dup_every == 3].copy()
+                dup = out[rid % dup_every == 3 % dup_every].copy()
                 if len(dup):
                     # duplicated business key (fresh row id, same key+content)
                     dup["row_id"] = dup["row_id"] + n_rows
@@ -236,9 +246,18 @@ def repo_commits_dim(
     """The parent dimension for RI: every legitimate (repo, commit)
     pair, mirroring the generator's commit formula."""
     n_repos = n_repos or max(10, n_rows // 200)
-    rows = [
-        (f"repo_{r}", f"{(r * 1_000_003 + c * 7919) % (1 << 40):010x}")
-        for r in range(n_repos)
-        for c in range(commits_per_repo)
-    ]
-    return spark.createDataFrame(rows, "repo string, commit string")
+    # distributed like the fact side: the dimension is a pure function
+    # of (r, c) — a driver-side list comprehension would build
+    # n_repos * commits_per_repo Python tuples (10M at n_rows=1e8)
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, n_repos * commits_per_repo)
+    r = (F.col("id") / commits_per_repo).cast("long")
+    c = F.col("id") % commits_per_repo
+    return ids.select(
+        F.concat(F.lit("repo_"), r.cast("string")).alias("repo"),
+        # lower(): the fact side formats commits with lowercase %x
+        F.lower(
+            F.lpad(F.hex((r * 1_000_003 + c * 7919) % F.lit(1 << 40)), 10, "0")
+        ).alias("commit"),
+    )

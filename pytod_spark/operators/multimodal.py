@@ -37,6 +37,12 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 3
 
 
+def _payload_bytes(p) -> bytes:
+    """NULL payloads (e.g. from encoding NULL text) decode as empty
+    blobs — the same empty-document convention as validation/features."""
+    return b"" if p is None else bytes(p)
+
+
 def extract_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched metadata extraction over the binary column — the
     shape a real header parser (PIL/ffprobe) would run in."""
@@ -46,12 +52,12 @@ def extract_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             if len(pdf) == 0:
                 continue
             payloads = pdf["payload"]
-            dims = [_fake_dims(bytes(p)) for p in payloads]
+            dims = [_fake_dims(_payload_bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(),
-                    "n_bytes": [len(bytes(p)) for p in payloads],
-                    "payload_sha": [hashlib.sha256(bytes(p)).hexdigest() for p in payloads],
+                    "n_bytes": [len(_payload_bytes(p)) for p in payloads],
+                    "payload_sha": [hashlib.sha256(_payload_bytes(p)).hexdigest() for p in payloads],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "channels": [d[2] for d in dims],
@@ -110,7 +116,7 @@ def image_features(df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> 
                 continue
             rows = []
             for i in range(len(pdf)):
-                img = decode_image(bytes(pdf["payload"].iloc[i]), fake=fake)
+                img = decode_image(_payload_bytes(pdf["payload"].iloc[i]), fake=fake)
                 rows.append(
                     (int(pdf[id_col].iloc[i]), float(img.mean()), float(img.std()),
                      int(img.shape[1]), int(img.shape[0]))
@@ -139,7 +145,7 @@ def resize_images(
                 continue
             ids, blobs, ws, hs, cs = [], [], [], [], []
             for i in range(len(pdf)):
-                img = decode_image(bytes(pdf["payload"].iloc[i]), fake=fake)
+                img = decode_image(_payload_bytes(pdf["payload"].iloc[i]), fake=fake)
                 h, w, c = img.shape
                 yi = (np.arange(out_h) * h // out_h).astype(np.int64)
                 xi = (np.arange(out_w) * w // out_w).astype(np.int64)
@@ -177,7 +183,7 @@ def sample_frames(
                 continue
             ids, idxs, shas, sizes = [], [], [], []
             for i in range(len(pdf)):
-                payload = bytes(pdf["payload"].iloc[i])
+                payload = _payload_bytes(pdf["payload"].iloc[i])
                 total = max(1, len(payload) // frame_bytes)
                 step = max(1, total // n_frames)
                 for k, f in enumerate(range(0, total, step)):

@@ -20,16 +20,10 @@ given similarity threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+from ..functions.vector import dot as _dot
 
 
 def global_scale(df: DataFrame, vec_col: str = "features") -> DataFrame:

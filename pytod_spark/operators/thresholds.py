@@ -36,7 +36,11 @@ def add_threshold_labels(
     ]
     if group_cols:
         stats = scores.groupBy(*group_cols).agg(*aggs)
-        joined = scores.join(F.broadcast(stats), on=group_cols, how="left")
+        # no mandatory broadcast hint: the stats table has one row per
+        # group, which at corpus scale (millions of repos) would OOM a
+        # forced broadcast — AQE promotes it to a broadcast join
+        # whenever it measures small, which is the right call per run
+        joined = scores.join(stats, on=group_cols, how="left")
     else:
         stats = scores.agg(*aggs)
         joined = scores.crossJoin(F.broadcast(stats))

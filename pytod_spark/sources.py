@@ -36,8 +36,13 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
         return spark.read.parquet(ref)
     try:
         return spark.read.table(ref)
-    except Exception:
-        return spark.read.parquet(ref)
+    except Exception as e:
+        # fall back ONLY for a genuinely missing table — a metastore
+        # connectivity / permission / corrupt-metadata error must
+        # surface as itself, not as an unrelated parquet path error
+        if "TABLE_OR_VIEW_NOT_FOUND" in str(e) or "Table or view not found" in str(e):
+            return spark.read.parquet(ref)
+        raise
 
 
 def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
