@@ -41,14 +41,14 @@ runs at construction time.
 self-join (no size window, no persist) — the true uncapped plan, used
 as the control in scripts/skew_cap_probe.py.
 
-Plan shape (cap > 0): ONE exchange — the banded frame is
-window-annotated with per-key size and the n_hubs subgroup minima
-(count/min aggregates over one unordered key partitioning; the
-subgroup minima are n_hubs conditional mins over the SAME window, so
-no second exchange), persisted (it feeds the cold self-join twice
-plus the hot branch and the optional stats job), and filtered into
-the two branches. The cold self-join shuffles on the same key the
-window already partitioned by.
+Plan shape (cap > 0): ONE data-scale exchange — the banded frame is
+window-annotated with the per-key size (a count over one unordered
+key partitioning), persisted (it feeds the cold self-join twice plus
+the hot branch and the optional stats job), and filtered into the two
+branches. The cold self-join shuffles on the same key the window
+already partitioned by. Hub metadata (subgroup ids + minima) is
+derived on the HOT SUBSET ONLY, so its extra window exchange moves
+just the hot rows — zero rows in the common all-cold case.
 """
 
 from __future__ import annotations
@@ -147,26 +147,29 @@ def capped_self_join_pairs(
         return _exact_pairs(banded)
 
     w = Window.partitionBy(*key_cols)
-    # subgroup minima over the SAME window partitioning (n_hubs
-    # conditional mins), so hub derivation adds no second exchange; a
-    # row's own subgroup always contains the row itself, so its
-    # element is never NULL.
+    ann = track(
+        banded.withColumn("__ksz", F.count(F.lit(1)).over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    cold_pairs = _exact_pairs(ann.where(F.col("__ksz") <= cap))
+
+    # hub metadata is derived ON THE HOT SUBSET ONLY: the second
+    # window exchange moves just the hot rows (usually none), so the
+    # common all-cold case pays only a cached filter scan — not n_hubs
+    # extra aggregates in the main pass. A row's own subgroup always
+    # contains the row itself, so its subgroup-min is never NULL.
     sub_mins = F.array(
         *[
             F.min(F.when(F.col("__g") == i, F.col(id_col))).over(w)
             for i in range(n_hubs)
         ]
     )
-    ann = track(
-        banded.withColumn("__g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_hubs)))
-        .withColumn("__ksz", F.count(F.lit(1)).over(w))
+    hot = (
+        ann.where(F.col("__ksz") > cap)
+        .withColumn("__g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_hubs)))
         .withColumn("__gmin", F.element_at(sub_mins, F.col("__g").cast("int") + 1))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-
-    cold_pairs = _exact_pairs(ann.where(F.col("__ksz") <= cap))
-
-    hot = ann.where(F.col("__ksz") > cap)
     hubs = (
         hot.where(F.col(id_col) == F.col("__gmin"))
         .select(
