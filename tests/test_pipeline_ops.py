@@ -334,3 +334,49 @@ def test_redact_pii(spark):
     # idempotent: redacting the redacted text is a no-op
     twice = df.select(redact_pii(redact_pii(F.col("t"))).alias("red")).collect()
     assert [r["red"] for r in twice] == [out[i]["red"] for i in range(5)]
+
+
+def test_multimodal_null_payload_treated_as_empty(spark):
+    """NULL payloads (encoding NULL text yields NULL binary) flow
+    through the Arrow kernels as empty blobs, not bytes(None)."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(0, "hello"), (1, None)], "doc_id long, text string"
+    )
+    md = {r["doc_id"]: r for r in
+          extract_metadata(attach_binary_payload(df)).collect()}
+    assert md[1]["n_bytes"] == 0
+    assert md[1]["payload_sha"] == hashlib.sha256(b"").hexdigest()
+    feats = image_features(attach_binary_payload(df)).collect()
+    assert {r["doc_id"] for r in feats} == {0, 1}
+
+
+def test_datagen_small_strides_and_wide_seeds(spark):
+    """anomaly_every=5 / orphan_every=5 / dup_every=2 must actually
+    inject (residues reduce mod the stride), and seeds >= 2**29 must
+    not overflow the uint64 mix."""
+    from pytod_spark.datagen import generate_repo_table
+
+    df = generate_repo_table(
+        spark, 2000, seed=2**31 + 7, anomaly_every=5, orphan_every=5,
+        dup_every=2, with_labels=True,
+    ).persist()
+    assert df.where(F.col("is_anomaly") == 1).count() > 0
+    assert df.where(F.col("is_orphan") == 1).count() > 0
+    dups = (df.groupBy("repo", "path", "commit").count()
+            .where(F.col("count") > 1).count())
+    assert dups > 0
+    df.unpersist()
+
+
+def test_repo_commits_dim_matches_fact_commits(spark):
+    """The distributed dimension must cover every non-orphan fact
+    commit (same formula, same lowercase hex format)."""
+    from pytod_spark.datagen import generate_repo_table, repo_commits_dim
+
+    fact = generate_repo_table(spark, 3000, seed=9, with_labels=True)
+    dim = repo_commits_dim(spark, 3000, seed=9)
+    legit = fact.where(F.col("is_orphan") == 0).select("repo", "commit").distinct()
+    missing = legit.join(dim, ["repo", "commit"], "left_anti").count()
+    assert missing == 0
