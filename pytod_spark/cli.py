@@ -1,7 +1,9 @@
 """spark-submit entrypoint.
 
-Usage (cluster):
-    spark-submit --py-files pytod_spark.zip -m pytod_spark.cli validate \\
+Usage (cluster) — spark-submit takes a script path, not -m; ship the
+wrapper next to the zip (scripts/submit_main.py re-exports this main):
+    spark-submit --master yarn --py-files pytod_spark.zip \\
+        submit_main.py validate \\
         --input s3://corpus/files --parent s3://corpus/commits \\
         --run-dir s3://runs/2026-08-16 [--no-resume]
 

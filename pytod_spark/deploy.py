@@ -20,10 +20,16 @@ _SHIPPED: set[str] = set()
 
 
 def build_pyfiles_zip(target: str | None = None) -> str:
-    """Zip the pytod_spark package (idempotent, content-addressed by
-    mtime is unnecessary for a single run)."""
+    """Zip the pytod_spark package. The default target is a
+    per-process temp file: one fixed shared path would let a second
+    process truncate the zip while this session's executors are still
+    fetching it (corrupt imports), and fails outright across users."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    target = target or os.path.join(tempfile.gettempdir(), "pytod_spark_pyfiles.zip")
+    if target is None:
+        fd, target = tempfile.mkstemp(
+            prefix=f"pytod_spark_pyfiles_{os.getpid()}_", suffix=".zip"
+        )
+        os.close(fd)
     with zipfile.ZipFile(target, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:

@@ -1006,6 +1006,12 @@ def render_generated_oracles(sf_dir: str = DRIVER_SF_DIR) -> None:
         sql = gen(sf_dir)
         if sql:
             ORACLES[name] = sql
+        else:
+            # drop any PREVIOUS scale's literals: a stale oracle would
+            # value-check this sf_dir's results against another
+            # dataset's fitted constants (guaranteed false FAIL); no
+            # entry degrades to the documented rows-only check
+            ORACLES.pop(name, None)
 
 
 # Driver-row priority: the per-round correctness driver records a

@@ -47,8 +47,11 @@ def q_drift_verdicts(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.avg("label"), 6).alias("outlier_rate"),
+            # pass/fail on the UNROUNDED rate, exactly like the oracle
+            # SQL (a rate in (MAX_RATE, MAX_RATE + 5e-7] rounds down to
+            # the boundary and would flip the verdict)
+            (F.avg("label") <= MAX_RATE).cast("int").alias("drift_pass"),
         )
-        .withColumn("drift_pass", (F.col("outlier_rate") <= MAX_RATE).cast("int"))
         .orderBy("lang")
     )
 

@@ -60,7 +60,15 @@ def get_spark(
     on a real cluster leave it unset and let spark-submit decide.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = master or f"local[{cpus}]"
+    if master is None:
+        # respect a master already chosen by spark-submit / SPARK_MASTER
+        # (builder.master would OVERRIDE it and silently run the whole
+        # job single-node on the driver); default to local only when
+        # nothing upstream decided
+        from pyspark import SparkConf
+
+        submitted = SparkConf().get("spark.master", None)
+        master = None if submitted else f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(8, int(cpus))
 
@@ -87,7 +95,9 @@ def get_spark(
         "spark.driver.extraJavaOptions",
         f"-Xms{confs['spark.driver.memory']} -XX:+UseG1GC",
     )
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     for k, v in confs.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
