@@ -10,6 +10,7 @@ exactly what --py-files does, just self-serve.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 import zipfile
@@ -17,19 +18,40 @@ import zipfile
 from pyspark.sql import SparkSession
 
 _SHIPPED: set[str] = set()
+_DEFAULT_ZIP: str | None = None
 
 
-def build_pyfiles_zip(target: str | None = None) -> str:
-    """Zip the pytod_spark package. The default target is a
-    per-process temp file: one fixed shared path would let a second
-    process truncate the zip while this session's executors are still
-    fetching it (corrupt imports), and fails outright across users."""
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    if target is None:
-        fd, target = tempfile.mkstemp(
+def _default_zip_target() -> str:
+    """One mkstemp'd zip path per process, unlinked at interpreter
+    exit. Per-process (not one fixed shared path) so a second process
+    can't truncate the zip while this session's executors are still
+    fetching it; cached + atexit-cleaned so repeated session cycles in
+    one harness don't leak a zip per call into $TMPDIR."""
+    global _DEFAULT_ZIP
+    if _DEFAULT_ZIP is None:
+        fd, _DEFAULT_ZIP = tempfile.mkstemp(
             prefix=f"pytod_spark_pyfiles_{os.getpid()}_", suffix=".zip"
         )
         os.close(fd)
+        atexit.register(_cleanup_default_zip)
+    return _DEFAULT_ZIP
+
+
+def _cleanup_default_zip() -> None:
+    if _DEFAULT_ZIP and os.path.exists(_DEFAULT_ZIP):
+        try:
+            os.unlink(_DEFAULT_ZIP)
+        except OSError:
+            pass
+
+
+def build_pyfiles_zip(target: str | None = None) -> str:
+    """Zip the pytod_spark package (rebuilt on every call so the zip
+    tracks the code; the default target is this process's cached temp
+    path, see :func:`_default_zip_target`)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if target is None:
+        target = _default_zip_target()
     with zipfile.ZipFile(target, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:

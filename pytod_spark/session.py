@@ -61,14 +61,22 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
-        # respect a master already chosen by spark-submit / SPARK_MASTER
-        # (builder.master would OVERRIDE it and silently run the whole
-        # job single-node on the driver); default to local only when
-        # nothing upstream decided
-        from pyspark import SparkConf
-
-        submitted = SparkConf().get("spark.master", None)
-        master = None if submitted else f"local[{cpus}]"
+        # Respect a master already chosen by spark-submit: its
+        # PythonRunner launches this process with the JVM gateway
+        # already up and --master applied, and advertises that gateway
+        # via PYSPARK_GATEWAY_PORT. That env var is the reliable
+        # signal — a pre-JVM SparkConf() is a plain Python dict that
+        # cannot see --master, so probing it finds nothing and
+        # builder.master would then OVERRIDE the submitted master and
+        # silently run the whole job single-node on the driver
+        # (verified with a live spark-submit --master probe). Default
+        # to local only when nothing upstream decided; SPARK_MASTER is
+        # an explicit env override for harnesses that cannot pass
+        # arguments through.
+        if "PYSPARK_GATEWAY_PORT" in os.environ:
+            master = None
+        else:
+            master = os.environ.get("SPARK_MASTER") or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(8, int(cpus))
 

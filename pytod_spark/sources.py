@@ -17,6 +17,8 @@ port, so this one is Spark-native by construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -26,7 +28,10 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
     * ``table:<name>`` / ``iceberg:<name>`` — catalog table via
       ``spark.read.table`` (Iceberg, Hive, or a temp view; partition
       pruning and snapshot options come from the catalog impl);
-    * a path containing ``/`` or ending in ``.parquet`` — parquet;
+    * a path containing ``/``, ending in ``.parquet``, or existing on
+      the driver's filesystem — parquet (the existence check catches
+      bare relative dir names like ``corpus-v2`` that are not valid
+      SQL identifiers and would otherwise die in the table parser);
     * anything else — tried as a catalog table first, then parquet.
     """
     for prefix in ("iceberg:", "table:"):
@@ -34,6 +39,12 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
             return spark.read.table(ref[len(prefix):])
     if "/" in ref or ref.endswith(".parquet"):
         return spark.read.parquet(ref)
+    if os.path.exists(ref):
+        # absolutize: the existence check ran against the Python
+        # process's cwd, but Spark resolves a relative path against
+        # the JVM's user.dir — these differ under pytest chdir /
+        # notebook kernels
+        return spark.read.parquet(os.path.abspath(ref))
     try:
         return spark.read.table(ref)
     except Exception as e:

@@ -84,6 +84,13 @@ def main():
     from pytod_spark.queries import ORACLES, QUERIES, render_generated_oracles
     from pytod_spark.session import get_spark
 
+    unknown = [n for n in only if n not in QUERIES]
+    if unknown:
+        # a typo'd name (or a stray flag — args are positional) must
+        # not produce a success-shaped "0 pass, 0 fail" exit 0
+        print(f"unknown query name(s): {unknown}; catalogue has {len(QUERIES)}")
+        sys.exit(2)
+
     # data-dependent oracles (PCA eigenvector literals) are rendered
     # for the driver's sf0.01 at import; re-render for this sf_dir
     render_generated_oracles(sf_dir)

@@ -5,9 +5,13 @@ The north rule requires the engine to run via
 uses package-relative imports, so it cannot be handed to spark-submit
 as a bare file; this shim is the primary application file —
 ``pytod_spark`` itself resolves from the ``--py-files`` zip (built by
-``pytod_spark.deploy.build_pyfiles_zip``), NOT from the repo checkout.
+``pytod_spark.deploy.build_pyfiles_zip`` — pass an explicit target;
+the no-arg default is a randomized per-process temp path), NOT from
+the repo checkout.
 
-    spark-submit --master local[8] --py-files /tmp/pytod_spark_pyfiles.zip \
+    python -c "from pytod_spark.deploy import build_pyfiles_zip; \
+               build_pyfiles_zip('/tmp/pytod_spark.zip')"
+    spark-submit --master local[8] --py-files /tmp/pytod_spark.zip \
         scripts/submit_main.py validate --input ... --parent ... --run-dir ...
 
 Exercised end-to-end by scripts/submit_smoke.sh.

@@ -2,6 +2,8 @@
 operator family, banded SimHash/RP-LSH candidate generation, ANN
 near-dup recall, distributed predict counts."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -269,6 +271,32 @@ def test_sources_resolution(spark, tmp_path):
     df.createOrReplaceTempView("src_view")
     assert load_table(spark, "table:src_view").count() == 2
     assert load_table(spark, "src_view").count() == 2
+
+
+def test_sources_relative_dir_not_identifier(spark, tmp_path, monkeypatch):
+    # a bare relative dir whose name is not a valid SQL identifier
+    # (hyphen) must resolve as parquet, not die in the table parser
+    from pytod_spark.sources import load_table, write_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_table(df, str(tmp_path / "corpus-v2"))
+    monkeypatch.chdir(tmp_path)
+    assert load_table(spark, "corpus-v2").count() == 2
+
+
+def test_pyfiles_zip_cached_per_process_and_rebuilt():
+    # default-target zips reuse ONE per-process temp path (no leak per
+    # call) and the archive is rebuilt — importable package layout
+    import zipfile
+
+    from pytod_spark.deploy import build_pyfiles_zip
+
+    a = build_pyfiles_zip()
+    b = build_pyfiles_zip()
+    assert a == b and os.path.exists(a)
+    names = zipfile.ZipFile(a).namelist()
+    assert "pytod_spark/__init__.py" in names
+    assert any(n.startswith("pytod_spark/operators/") for n in names)
 
 
 def test_multimodal_resize_and_frames(spark, docs):
