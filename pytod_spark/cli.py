@@ -43,7 +43,17 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--detector", default="hbos", choices=["hbos", "knn", "lof", "ecod", "copod", "pca", "abod"])
     v.add_argument("--contamination", type=float, default=0.1)
     v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--reference", default=None,
+                   help="prior snapshot of the same table; enables the PSI+KS dist-drift check (rescans the reference)")
+    v.add_argument("--reference-profile", default=None,
+                   help="PREBUILT counts profile of the reference snapshot (see the profile subcommand) — same check, reference never rescanned")
     v.add_argument("--master", default=None)
+
+    pr = sub.add_parser("profile", help="build the persistable drift profile of a snapshot (feeds validate --reference-profile)")
+    pr.add_argument("--input", required=True, help="corpus snapshot (repo,path,commit,lang,content)")
+    pr.add_argument("--out", required=True, help="output parquet for the (lang, feature, value, __n) profile")
+    pr.add_argument("--partition-col", default="lang")
+    pr.add_argument("--master", default=None)
 
     d = sub.add_parser("dedup", help="exact + MinHash near-dup clusters over a documents table")
     d.add_argument("--input", required=True, help="parquet dir or table:/iceberg:<name> with (doc_id, text)")
@@ -203,10 +213,29 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows_kept": spark.read.parquet(args.out).count()}))
         return 0
 
+    if args.cmd == "profile":
+        from .validation.profile import build_snapshot_profile
+
+        prof = build_snapshot_profile(
+            load_table(spark, args.input), partition_col=args.partition_col
+        )
+        prof.write.mode("overwrite").parquet(args.out)
+        print(json.dumps(
+            {"profile_rows": spark.read.parquet(args.out).count()}
+        ))
+        return 0
+
     df = load_table(spark, args.input)
     parent = load_table(spark, args.parent) if args.parent else None
     suite = ValidationSuite(detector=args.detector, contamination=args.contamination)
-    metrics = suite.run(spark, df, args.run_dir, parent=parent, resume=not args.no_resume)
+    metrics = suite.run(
+        spark, df, args.run_dir, parent=parent, resume=not args.no_resume,
+        reference=load_table(spark, args.reference) if args.reference else None,
+        reference_profile=(
+            load_table(spark, args.reference_profile)
+            if args.reference_profile else None
+        ),
+    )
     print(json.dumps(metrics))
     return 0
 

@@ -163,6 +163,7 @@ class ValidationSuite:
         resume: bool = True,
         partitions: Iterable[str] | None = None,
         reference: DataFrame | None = None,
+        reference_profile: DataFrame | None = None,
         psi_threshold: float = 0.2,
     ) -> dict:
         """Execute the suite. ``partitions`` optionally names the
@@ -174,9 +175,35 @@ class ValidationSuite:
         (validation/psi.py, validation/ks.py), writes the
         ``dist_drift`` report, and folds a ``dist_pass`` verdict (no
         feature with PSI > psi_threshold or significant KS D) into
-        ``partition_pass``."""
+        ``partition_pass``. ``reference_profile`` is the scale path
+        for the same check: a PREBUILT per-(partition, feature, value)
+        counts profile of the reference snapshot
+        (validation/profile.py build_snapshot_profile, CLI
+        ``profile``), so the frozen reference corpus is scanned once
+        ever instead of once per run — results are identical to
+        passing the raw ``reference``. Passing both is an error."""
         t0 = time.time()
         phase_times: dict[str, float] = {}
+        if reference is not None and reference_profile is not None:
+            raise ValueError(
+                "pass either reference (raw snapshot) or "
+                "reference_profile (prebuilt counts profile), not both"
+            )
+        if reference_profile is not None:
+            # driver-side metadata gate, mirroring the schema contract:
+            # a frame that is not a profile must fail before any work
+            from .profile import PROFILE_COLUMNS
+
+            missing = [
+                c
+                for c in (self.partition_col, *PROFILE_COLUMNS)
+                if c not in reference_profile.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"reference_profile is missing column(s) {missing}; "
+                    "build it with validation.profile.build_snapshot_profile"
+                )
 
         def _mark(label, start):
             phase_times[label] = round(time.time() - start, 2)
@@ -371,11 +398,15 @@ class ValidationSuite:
                 keyed.unpersist()
 
             def _job_dist_drift():
-                if reference is None:
+                if reference is None and reference_profile is None:
                     return
                 from .ks import ks_report_from_counts
                 from .psi import psi_report_from_counts
-                from .profile import snapshot_value_counts
+                from .profile import (
+                    combine_with_reference_profile,
+                    feature_stack_expr,
+                    snapshot_value_counts,
+                )
 
                 # long format: one row per (partition, feature, value,
                 # side) — stack() is a map-side Generate, no shuffle.
@@ -385,27 +416,39 @@ class ValidationSuite:
                 # feature, value) counts profile; PSI and KS both read
                 # the persisted profile, so nothing row-scale is ever
                 # scanned or shuffled twice.
-                stack_expr = "stack({}, {}) as (feature, value)".format(
-                    len(FEATURE_COLS),
-                    ", ".join(
-                        f"'{c}', cast({c} as double)" for c in FEATURE_COLS
-                    ),
-                )
-                ref_feats = derive_features(
-                    reference.where(F.col(pcol).isin(pending))
-                ).select(pcol, *FEATURE_COLS)
-                both = (
-                    ref_feats.withColumn("__is_ref", F.lit(True))
-                    .unionByName(
-                        feats.select(pcol, *FEATURE_COLS).withColumn(
-                            "__is_ref", F.lit(False)
-                        )
+                stack_expr = feature_stack_expr(FEATURE_COLS)
+                if reference_profile is not None:
+                    # prebuilt-profile path: the reference corpus is
+                    # never touched — only its model-sized profile is
+                    # joined against this run's counts
+                    cur_counts = (
+                        feats.select(pcol, *FEATURE_COLS)
+                        .selectExpr(pcol, stack_expr)
+                        .groupBy(pcol, "feature", "value")
+                        .agg(F.count(F.lit(1)).alias("__n"))
                     )
-                    .selectExpr(pcol, "__is_ref", stack_expr)
-                )
-                per_val = snapshot_value_counts(
-                    both, F.col("__is_ref"), "value", [pcol, "feature"]
-                ).persist()
+                    per_val = combine_with_reference_profile(
+                        reference_profile.where(F.col(pcol).isin(pending)),
+                        cur_counts,
+                        "value",
+                        [pcol, "feature"],
+                    ).persist()
+                else:
+                    ref_feats = derive_features(
+                        reference.where(F.col(pcol).isin(pending))
+                    ).select(pcol, *FEATURE_COLS)
+                    both = (
+                        ref_feats.withColumn("__is_ref", F.lit(True))
+                        .unionByName(
+                            feats.select(pcol, *FEATURE_COLS).withColumn(
+                                "__is_ref", F.lit(False)
+                            )
+                        )
+                        .selectExpr(pcol, "__is_ref", stack_expr)
+                    )
+                    per_val = snapshot_value_counts(
+                        both, F.col("__is_ref"), "value", [pcol, "feature"]
+                    ).persist()
                 psi = psi_report_from_counts(
                     per_val, "value", [pcol, "feature"],
                     threshold=psi_threshold,
@@ -467,7 +510,12 @@ class ValidationSuite:
                             "partition": part,
                             "n_rows": sums["n_rows"].get(part, 0),
                             "checks": ["stats", "uniqueness", "ri", "drift_scores"]
-                            + (["dist_drift"] if reference is not None else []),
+                            + (
+                                ["dist_drift"]
+                                if (reference is not None
+                                    or reference_profile is not None)
+                                else []
+                            ),
                             "completed_at": time.time(),
                         },
                         fh,

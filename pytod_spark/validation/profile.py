@@ -31,3 +31,72 @@ def snapshot_value_counts(
         F.sum(F.when(is_ref, 1).otherwise(0)).alias("__r"),
         F.sum(F.when(is_ref, 0).otherwise(1)).alias("__c"),
     )
+
+
+def feature_stack_expr(feature_cols: list[str]) -> str:
+    """``stack()`` expression pivoting wide feature columns into the
+    long (feature, value) shape — a map-side Generate, no shuffle."""
+    return "stack({}, {}) as (feature, value)".format(
+        len(feature_cols),
+        ", ".join(f"'{c}', cast({c} as double)" for c in feature_cols),
+    )
+
+
+def build_snapshot_profile(
+    snapshot: DataFrame,
+    partition_col: str = "lang",
+    feature_cols: list[str] | None = None,
+) -> DataFrame:
+    """The persistable drift profile of ONE corpus snapshot: one row
+    per (partition, feature, distinct value) with its row count
+    (``__n``).
+
+    This is the sufficient statistic both PSI and two-sample KS need,
+    so a validation deployment computes it ONCE per reference snapshot
+    (one feature-derivation scan + one partial-aggregated hash
+    shuffle, output model-sized) and writes it next to the snapshot.
+    Every subsequent validation run then passes it as
+    ``ValidationSuite.run(reference_profile=...)`` instead of
+    ``reference=...`` — at 10^12 rows, rescanning the frozen reference
+    corpus per run is the difference between a bounded-cost check and
+    doubling every run's I/O. Built by the CLI ``profile`` subcommand.
+    """
+    from .features import FEATURE_COLS, derive_features
+
+    feature_cols = list(feature_cols or FEATURE_COLS)
+    long = derive_features(snapshot).selectExpr(
+        partition_col, feature_stack_expr(feature_cols)
+    )
+    return long.groupBy(partition_col, "feature", "value").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+
+
+PROFILE_COLUMNS = ("feature", "value", "__n")
+
+
+def combine_with_reference_profile(
+    ref_profile: DataFrame,
+    cur_counts: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Zero-filled full-outer merge of a persisted reference profile
+    with the current snapshot's counts — produces exactly the
+    ``(__r, __c)`` frame :func:`snapshot_value_counts` builds when
+    both snapshots are scanned inline, so PSI/KS results are
+    identical either way. Join keys include the (deterministically
+    derived, parquet-exact) double value; both profiles are
+    model-sized, so this join never moves row-scale data."""
+    ref = ref_profile.select(
+        *group_cols, value_col, F.col("__n").alias("__r")
+    )
+    cur = cur_counts.select(
+        *group_cols, value_col, F.col("__n").alias("__c")
+    )
+    return ref.join(cur, [*group_cols, value_col], "full_outer").select(
+        *group_cols,
+        value_col,
+        F.coalesce("__r", F.lit(0)).alias("__r"),
+        F.coalesce("__c", F.lit(0)).alias("__c"),
+    )

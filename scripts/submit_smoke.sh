@@ -34,4 +34,16 @@ cd "$WORK"   # scratch cwd: no repo checkout on sys.path
     --run-dir "$WORK/run1"
 
 test -d "$WORK/run1/verdicts" || { echo "no verdicts dir"; ls "$WORK/run1"; exit 1; }
+
+# reference-profile deployment path: profile the snapshot once, then
+# validate a later run against the persisted profile (dist check on,
+# reference corpus never rescanned)
+"$SUBMIT" "${COMMON[@]}" submit_main.py \
+    profile --input "$WORK/corpus" --out "$WORK/ref_profile"
+
+"$SUBMIT" "${COMMON[@]}" submit_main.py \
+    validate --input "$WORK/corpus" --parent "$WORK/parent" \
+    --reference-profile "$WORK/ref_profile" --run-dir "$WORK/run2"
+
+test -d "$WORK/run2/dist_drift" || { echo "no dist_drift dir"; ls "$WORK/run2"; exit 1; }
 echo "submit_smoke: OK"

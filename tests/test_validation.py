@@ -241,6 +241,75 @@ def test_ks_one_sided_group_is_max_drift(spark):
     assert out["both"]["drifted"] == 0
 
 
+def test_engine_reference_profile_path_matches_inline_reference(
+    spark, corpus, parent, tmp_path
+):
+    """The prebuilt-profile path (reference scanned once ever, profile
+    persisted to parquet) must produce the exact same dist_drift
+    report and verdicts as passing the raw reference snapshot."""
+    from pytod_spark.validation.profile import build_snapshot_profile
+
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    shifted = clean.withColumn(
+        "content",
+        F.when(
+            F.col("lang") == "python",
+            F.concat(F.col("content"), F.lit("\n"), F.col("content")),
+        ).otherwise(F.col("content")),
+    )
+    suite = ValidationSuite(contamination=0.1)
+
+    run_inline = str(tmp_path / "run_inline")
+    suite.run(spark, shifted, run_inline, parent=parent, reference=clean)
+
+    # parquet round-trip: the deployment contract is a profile built
+    # once and read back in later runs
+    prof_path = str(tmp_path / "ref_profile")
+    build_snapshot_profile(clean).write.parquet(prof_path)
+    run_prof = str(tmp_path / "run_prof")
+    suite.run(
+        spark, shifted, run_prof, parent=parent,
+        reference_profile=spark.read.parquet(prof_path),
+    )
+
+    def _report(run_dir):
+        return sorted(
+            (r["lang"], r["feature"], round(r["psi"], 12),
+             round(r["ks_d"], 12), r["psi_drifted"], r["ks_drifted"])
+            for r in spark.read.parquet(
+                os.path.join(run_dir, "dist_drift")
+            ).collect()
+        )
+
+    assert _report(run_prof) == _report(run_inline)
+
+    def _verdicts(run_dir):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(
+                os.path.join(run_dir, "verdicts")
+            ).collect()
+        )
+
+    assert _verdicts(run_prof) == _verdicts(run_inline)
+
+
+def test_engine_reference_profile_input_gates(spark, corpus, parent, tmp_path):
+    """Both-references is a usage error; a frame that is not a profile
+    must fail the driver-side gate before any job runs."""
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    suite = ValidationSuite(contamination=0.1)
+    with pytest.raises(ValueError, match="not both"):
+        suite.run(
+            spark, clean, str(tmp_path / "r1"), parent=parent,
+            reference=clean, reference_profile=clean,
+        )
+    with pytest.raises(ValueError, match="missing column"):
+        suite.run(
+            spark, clean, str(tmp_path / "r2"), parent=parent,
+            reference_profile=clean,
+        )
+
+
 def test_engine_dist_drift_no_false_positive_on_same_distribution(
     spark, corpus, parent, tmp_path
 ):
