@@ -10,6 +10,7 @@ cluster via ``spark-submit --conf``.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -77,6 +78,12 @@ def get_spark(
             master = None
         else:
             master = os.environ.get("SPARK_MASTER") or f"local[{cpus}]"
+    # remember whether partition sizing was an explicit caller/operator
+    # choice (argument or env) vs our sandbox default — the default
+    # must NOT override a spark-submit --conf on the cluster path below
+    shuffle_explicit = (
+        shuffle_partitions is not None or "SPARK_GRAFT_CPUS" in os.environ
+    )
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(8, int(cpus))
 
@@ -106,6 +113,40 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        # spark-submit path: the JVM is already up, so static confs
+        # (driver memory, extraJavaOptions, executorEnv) are decided —
+        # and builder.config would OVERRIDE any --conf the operator
+        # submitted (builder options are applied on top of the
+        # submitted SparkConf in getOrCreate). Build the session bare,
+        # then apply our spark.sql.* runtime defaults only where the
+        # submitted conf didn't set the key; explicit caller choices
+        # (extra_conf, shuffle_partitions arg / SPARK_GRAFT_CPUS)
+        # still win over --conf.
+        spark = builder.getOrCreate()
+        submitted = spark.sparkContext.getConf()
+        explicit = dict(extra_conf or {})
+        if shuffle_explicit:
+            explicit["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+        for k, v in confs.items():
+            if (
+                k.startswith("spark.sql.")
+                and k not in explicit
+                and not submitted.contains(k)
+            ):
+                spark.conf.set(k, v)
+        for k, v in explicit.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                # static conf on a live JVM (e.g. driver memory in
+                # extra_conf) — same silent-warning outcome as the
+                # builder path would give; the JVM already decided it
+                warnings.warn(
+                    f"conf {k!r} cannot be applied to the running "
+                    "spark-submit session; pass it via --conf instead"
+                )
+        return spark
     for k, v in confs.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

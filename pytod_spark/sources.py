@@ -18,8 +18,14 @@ port, so this one is Spark-native by construction.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+# dotted chain of plain SQL identifiers — anything a catalog could
+# plausibly name; bare refs outside this (``corpus-v2``) can only be
+# paths and go straight to parquet
+_IDENTIFIER_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*\Z")
 
 
 def load_table(spark: SparkSession, ref: str) -> DataFrame:
@@ -28,23 +34,24 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
     * ``table:<name>`` / ``iceberg:<name>`` — catalog table via
       ``spark.read.table`` (Iceberg, Hive, or a temp view; partition
       pruning and snapshot options come from the catalog impl);
-    * a path containing ``/``, ending in ``.parquet``, or existing on
-      the driver's filesystem — parquet (the existence check catches
-      bare relative dir names like ``corpus-v2`` that are not valid
-      SQL identifiers and would otherwise die in the table parser);
-    * anything else — tried as a catalog table first, then parquet.
+    * a path containing ``/``, ending in ``.parquet``, or a bare name
+      that is not a valid SQL identifier chain (``corpus-v2``) —
+      parquet;
+    * anything else — catalog table first (a registered view or table
+      always wins over a same-named cwd entry), parquet fallback only
+      when the table is genuinely absent.
     """
     for prefix in ("iceberg:", "table:"):
         if ref.startswith(prefix):
             return spark.read.table(ref[len(prefix):])
-    if "/" in ref or ref.endswith(".parquet"):
+    if "/" in ref or ref.endswith(".parquet") or not _IDENTIFIER_RE.match(ref):
+        # absolutize bare relative dirs: the caller's intent was
+        # checked against the Python process's cwd, but Spark resolves
+        # a relative path against the JVM's user.dir — these differ
+        # under pytest chdir / notebook kernels
+        if os.path.exists(ref):
+            ref = os.path.abspath(ref)
         return spark.read.parquet(ref)
-    if os.path.exists(ref):
-        # absolutize: the existence check ran against the Python
-        # process's cwd, but Spark resolves a relative path against
-        # the JVM's user.dir — these differ under pytest chdir /
-        # notebook kernels
-        return spark.read.parquet(os.path.abspath(ref))
     try:
         return spark.read.table(ref)
     except Exception as e:
@@ -52,6 +59,8 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
         # connectivity / permission / corrupt-metadata error must
         # surface as itself, not as an unrelated parquet path error
         if "TABLE_OR_VIEW_NOT_FOUND" in str(e) or "Table or view not found" in str(e):
+            if os.path.exists(ref):
+                ref = os.path.abspath(ref)
             return spark.read.parquet(ref)
         raise
 

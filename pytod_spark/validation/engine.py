@@ -204,6 +204,26 @@ class ValidationSuite:
                     f"reference_profile is missing column(s) {missing}; "
                     "build it with validation.profile.build_snapshot_profile"
                 )
+            # feature-set gate (one model-sized job on the profile,
+            # rows ~ |features| x |distinct values|): a profile built
+            # against an older/renamed FEATURE_COLS would otherwise
+            # pass the column gate and then full_outer-join into
+            # one-sided (partition, feature) groups, which the KS
+            # reader deliberately scores as D=1.0/drifted — i.e. a
+            # guaranteed false FAIL on every partition with no hint
+            # that the profile is stale. Fail loud instead.
+            profile_feats = {
+                r[0]
+                for r in reference_profile.select("feature").distinct().collect()
+            }
+            if profile_feats != set(FEATURE_COLS):
+                raise ValueError(
+                    "reference_profile feature set does not match this "
+                    f"engine's FEATURE_COLS: profile has {sorted(profile_feats)}, "
+                    f"engine expects {sorted(FEATURE_COLS)}. Rebuild the "
+                    "profile with the current pytod_spark version "
+                    "(CLI `profile` subcommand)."
+                )
 
         def _mark(label, start):
             phase_times[label] = round(time.time() - start, 2)

@@ -335,3 +335,47 @@ def test_connected_components_chain_clique_pair(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_sources_table_wins_over_same_named_cwd_dir(spark, tmp_path, monkeypatch):
+    # a registered view/table must shadow a same-named directory in the
+    # driver's cwd (e.g. an earlier run's output), not the reverse —
+    # silently reading stale local parquet over the catalog is wrong
+    from pytod_spark.sources import load_table, write_table
+
+    view_df = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    stale = spark.createDataFrame([(99,)], "id long")
+    write_table(stale, str(tmp_path / "shadowed_tbl"))
+    monkeypatch.chdir(tmp_path)
+    view_df.createOrReplaceTempView("shadowed_tbl")
+    try:
+        assert load_table(spark, "shadowed_tbl").count() == 3
+    finally:
+        spark.catalog.dropTempView("shadowed_tbl")
+    # with the view gone, the same bare name falls back to the cwd dir
+    assert load_table(spark, "shadowed_tbl").count() == 1
+
+
+def test_get_spark_gateway_path_respects_submitted_conf(spark, monkeypatch):
+    """On the spark-submit (gateway) path, our shuffle-partition
+    default must not override a --conf the operator submitted; an
+    explicit argument still wins over everything."""
+    from pytod_spark.session import get_spark
+
+    # the test session's builder-set value lives in the SparkContext
+    # conf, which is exactly how a spark-submit --conf appears
+    assert spark.sparkContext.getConf().contains("spark.sql.shuffle.partitions")
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "12345")
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        s2 = get_spark(app_name="pytod_spark-tests")
+        assert s2 is spark
+        # submitted (sc-conf-visible) key: default does NOT stomp it
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
+        # explicit argument: wins over the submitted conf
+        get_spark(app_name="pytod_spark-tests", shuffle_partitions=24)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "24"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

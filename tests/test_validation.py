@@ -308,6 +308,25 @@ def test_engine_reference_profile_input_gates(spark, corpus, parent, tmp_path):
             spark, clean, str(tmp_path / "r2"), parent=parent,
             reference_profile=clean,
         )
+    # a profile with the right COLUMNS but a stale/renamed feature set
+    # (older FEATURE_COLS) would full_outer-join into one-sided groups
+    # that KS deliberately scores D=1.0 — i.e. guaranteed false FAILs;
+    # the gate must reject it loudly instead
+    from pyspark.sql import functions as F
+
+    from pytod_spark.validation.features import FEATURE_COLS
+    from pytod_spark.validation.profile import build_snapshot_profile
+
+    stale = build_snapshot_profile(clean).withColumn(
+        "feature",
+        F.when(F.col("feature") == FEATURE_COLS[0], F.lit("renamed_feat"))
+        .otherwise(F.col("feature")),
+    )
+    with pytest.raises(ValueError, match="feature set"):
+        suite.run(
+            spark, clean, str(tmp_path / "r3"), parent=parent,
+            reference_profile=stale,
+        )
 
 
 def test_engine_dist_drift_no_false_positive_on_same_distribution(
