@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--detector", default="hbos", choices=["hbos", "knn", "lof", "ecod", "copod", "pca", "abod"])
     v.add_argument("--contamination", type=float, default=0.1)
     v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--incremental", action="store_true",
+                   help="re-validate only partitions whose content changed since the last run in --run-dir (fingerprint scan, or --changed-partitions metadata)")
+    v.add_argument("--changed-partitions", default=None,
+                   help="comma-separated partition values known to have changed (e.g. from an Iceberg snapshot diff); implies --incremental and skips the fingerprint scan")
     v.add_argument("--reference", default=None,
                    help="prior snapshot of the same table; enables the PSI+KS dist-drift check (rescans the reference)")
     v.add_argument("--reference-profile", default=None,
@@ -228,14 +232,27 @@ def main(argv: list[str] | None = None) -> int:
     df = load_table(spark, args.input)
     parent = load_table(spark, args.parent) if args.parent else None
     suite = ValidationSuite(detector=args.detector, contamination=args.contamination)
-    metrics = suite.run(
-        spark, df, args.run_dir, parent=parent, resume=not args.no_resume,
+    common = dict(
+        parent=parent,
         reference=load_table(spark, args.reference) if args.reference else None,
         reference_profile=(
             load_table(spark, args.reference_profile)
             if args.reference_profile else None
         ),
     )
+    if args.incremental or args.changed_partitions is not None:
+        metrics = suite.run_incremental(
+            spark, df, args.run_dir,
+            changed_partitions=(
+                [p.strip() for p in args.changed_partitions.split(",") if p.strip()]
+                if args.changed_partitions is not None else None
+            ),
+            **common,
+        )
+    else:
+        metrics = suite.run(
+            spark, df, args.run_dir, resume=not args.no_resume, **common
+        )
     print(json.dumps(metrics))
     return 0
 

@@ -1,4 +1,4 @@
-from .engine import ValidationSuite  # noqa: F401
+from .engine import ValidationSuite, partition_fingerprints  # noqa: F401
 from .features import derive_features  # noqa: F401
 from .schema import (  # noqa: F401
     CORPUS_CONTRACT,

@@ -37,7 +37,14 @@ Scale/skew posture:
   counts) — kill the job mid-run, rerun, and only unfinished
   partitions recompute. On a resumed (partial) run, stage B rebuilds
   the global threshold and verdicts from the persisted stage-A
-  parquet instead of the in-memory shortcut.
+  parquet instead of the in-memory shortcut;
+* incremental revalidation (run_incremental): markers also record a
+  per-partition content fingerprint (xor of row hashes + count), so
+  a nightly re-run recomputes only partitions whose data changed —
+  named explicitly via changed_partitions (free from an Iceberg
+  snapshot diff) or detected by one map+agg fingerprint scan. Stale
+  partitions are surgically invalidated (marker + hive dirs across
+  every stage-A output), then the normal resume machinery takes over.
 
 The drift stage defaults to HBOS (broadcast histogram model +
 map-side Arrow scoring — KB-scale shuffles at any input size); every
@@ -65,6 +72,40 @@ from pyspark.sql import functions as F
 from ..detectors import ALL_DETECTORS
 from .constraints import ri_violations, uniqueness_violations
 from .features import FEATURE_COLS, derive_features
+
+# every stage-A artifact that is partitioned by partition_col — the
+# set an incremental run must clear per stale partition (dynamic
+# partition overwrite alone leaves old violation files behind when the
+# re-run produces ZERO violations for the partition)
+_STAGE_A_OUTPUTS = (
+    "stats",
+    "uniqueness_violations",
+    "ri_violations",
+    "drift_scores",
+    "drift_violations",
+    "dist_drift",
+)
+
+
+def partition_fingerprints(df: DataFrame, pcol: str, key_cols: list[str]) -> DataFrame:
+    """Order-independent per-partition content fingerprint: xor of
+    per-row hashes over (key columns, content sha256) plus the row
+    count. One map + tiny grouped agg — partial aggregation collapses
+    each input split to |partitions| rows before the shuffle, so the
+    scan is bandwidth-bound and ~10x cheaper than the full check
+    suite it lets an incremental run skip. xor is commutative (file
+    order within a partition doesn't matter) and exact-duplicate rows
+    pairwise-cancel, which is why the row count rides along."""
+    if "content_sha256" in df.columns:
+        sha = F.col("content_sha256")
+    else:
+        # must match derive_features' invariant exactly
+        sha = F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+    row_h = F.xxhash64(*[F.col(c) for c in key_cols], sha)
+    return df.groupBy(pcol).agg(
+        F.bit_xor(row_h).alias("fp"),
+        F.count(F.lit(1)).alias("fp_n"),
+    )
 
 
 class ValidationSuite:
@@ -108,6 +149,33 @@ class ValidationSuite:
         if not os.path.isdir(mdir):
             return set()
         return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
+
+    def _read_marker(self, run_dir: str, part: str) -> dict | None:
+        try:
+            with open(self._marker_path(run_dir, part)) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _invalidate_partition(self, run_dir: str, part: str) -> None:
+        """Drop one partition's completion marker and its hive
+        subdirectory in every stage-A output, so the next resumed run
+        recomputes it from scratch with no stale files surviving."""
+        import shutil
+        from urllib.parse import unquote
+
+        mp = self._marker_path(run_dir, part)
+        if os.path.exists(mp):
+            os.remove(mp)
+        pref = f"{self.partition_col}="
+        for name in _STAGE_A_OUTPUTS:
+            base = os.path.join(run_dir, name)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                # Spark %-escapes special chars in hive dir names
+                if d.startswith(pref) and unquote(d[len(pref):]) == str(part):
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     @staticmethod
     def _has_parquet(path: str) -> bool:
@@ -276,6 +344,7 @@ class ValidationSuite:
         sums: dict[str, dict] = {
             "n_rows": {}, "dup_keys": {}, "extra_rows": {}, "orphans": {},
             "outliers": {}, "drift_n": {}, "psi_max": {}, "dist_drifted": {},
+            "fp": {},
         }
         thr_box: dict[str, float] = {}
 
@@ -499,12 +568,24 @@ class ValidationSuite:
                 rep.unpersist()
                 per_val.unpersist()
 
+            def _job_fingerprint():
+                # model-sized result (|pending| rows) recorded in each
+                # partition's lineage marker — what run_incremental
+                # compares against to skip unchanged partitions
+                for r in partition_fingerprints(
+                    feats.select(pcol, *self.key_cols, "content_sha256"),
+                    pcol,
+                    self.key_cols,
+                ).collect():
+                    sums["fp"][r[pcol]] = {"xor": int(r["fp"]), "n": int(r["fp_n"])}
+
             jobs = {
                 "stats": _job_stats,
                 "uniqueness": _job_uniqueness,
                 "ri": _job_ri,
                 "drift": _job_drift,
                 "dist_drift": _job_dist_drift,
+                "fingerprint": _job_fingerprint,
             }
 
             def _timed(name, fn):
@@ -536,6 +617,7 @@ class ValidationSuite:
                                     or reference_profile is not None)
                                 else []
                             ),
+                            "fingerprint": sums["fp"].get(part),
                             "completed_at": time.time(),
                         },
                         fh,
@@ -543,6 +625,11 @@ class ValidationSuite:
 
         # ---------------- stage B: global threshold + verdicts
         tp = time.time()
+        # None = no drift scores exist anywhere (empty corpus, or a
+        # resumed run whose stage-A drift output was all-empty) — the
+        # metrics JSON records null rather than crashing on an unbound
+        # threshold
+        thr: float | None = None
         if fresh_full and pending and "t" in thr_box:
             thr = thr_box["t"]
             verdict_rows = [
@@ -569,7 +656,15 @@ class ValidationSuite:
             # zero-violation run) has no files to infer a schema from.
             drift = {}
             if self._has_parquet(os.path.join(run_dir, "drift_scores")):
-                scores = spark.read.parquet(os.path.join(run_dir, "drift_scores"))
+                # restrict to partitions present in the CURRENT
+                # snapshot: after an incremental run, stage-A parquet
+                # may still hold partitions dropped from the table,
+                # and those must not feed the global threshold or be
+                # rewritten into drift_violations. Partition-pruning
+                # predicate — Spark skips the stale hive dirs entirely.
+                scores = spark.read.parquet(
+                    os.path.join(run_dir, "drift_scores")
+                ).where(F.col(pcol).isin(all_parts))
                 thr = scores.agg(
                     F.percentile_approx(
                         "score_z", 1 - self.contamination, 10000
@@ -707,6 +802,86 @@ class ValidationSuite:
         }
         with open(os.path.join(run_dir, f"metrics_{int(t0)}.json"), "w") as fh:
             json.dump(metrics, fh, indent=2)
+        return metrics
+
+    # ------------------------------------------------------- incremental
+
+    def run_incremental(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        run_dir: str,
+        changed_partitions: Iterable[str] | None = None,
+        **run_kwargs,
+    ) -> dict:
+        """Re-validate only what changed since the last completed run
+        in ``run_dir`` — at 10^12 files a nightly snapshot touches a
+        sliver of partitions, and re-running the full suite over the
+        unchanged ones is the dominant wasted cost.
+
+        Two ways to learn what changed:
+
+        * ``changed_partitions`` (metadata path): the caller names the
+          partition values whose data changed — on a real lakehouse
+          this comes free from an Iceberg snapshot diff (changed data
+          files -> partition values via manifest metadata), so NO data
+          is scanned for unchanged partitions. Partitions new to the
+          table need no mention; they have no completion marker and
+          recompute regardless.
+        * fingerprint scan (fallback, when no table-format metadata is
+          available): one map+agg pass hashes (key columns, content
+          sha256) per partition — see ``partition_fingerprints`` — and
+          compares against the fingerprint stored in each completion
+          marker. A partition is stale when the xor-of-row-hashes or
+          the row count differs, or its marker predates fingerprints.
+
+        Stale partitions get their marker AND their hive subdirectory
+        in every stage-A output removed before the resumed run:
+        dynamic partition overwrite only replaces partitions the new
+        run writes, so a stale partition whose re-run produces ZERO
+        violations would otherwise keep its old violation files.
+
+        Stage B then rebuilds the global threshold + verdicts from the
+        union of persisted (unchanged) and recomputed (changed)
+        stage-A output, restricted to partitions present in the
+        CURRENT snapshot — a partition dropped from the table drops
+        out of both the verdicts and the global threshold.
+
+        Returns the same metrics dict as ``run``, plus
+        ``incremental_stale`` (partitions invalidated and recomputed)
+        and ``incremental_skipped`` (unchanged partitions reused).
+        """
+        t_scan = time.time()
+        pcol = self.partition_col
+        done = self._done_partitions(run_dir)
+        if changed_partitions is not None:
+            stale = {str(p) for p in changed_partitions} & done
+            scan_sec = 0.0
+        else:
+            cur = {
+                str(r[pcol]): {"xor": int(r["fp"]), "n": int(r["fp_n"])}
+                for r in partition_fingerprints(
+                    df, pcol, self.key_cols
+                ).collect()
+            }
+            scan_sec = round(time.time() - t_scan, 2)
+            stale = set()
+            for part in done:
+                marker = self._read_marker(run_dir, part)
+                stored = (marker or {}).get("fingerprint")
+                # missing/corrupt marker, pre-fingerprint marker, or a
+                # changed fingerprint all force a recompute; a
+                # partition absent from the current snapshot is left
+                # alone (stage B excludes it via the all_parts filter)
+                if part in cur and (stored is None or stored != cur[part]):
+                    stale.add(part)
+        for part in sorted(stale):
+            self._invalidate_partition(run_dir, part)
+        metrics = self.run(spark, df, run_dir, resume=True, **run_kwargs)
+        metrics["incremental_stale"] = sorted(stale)
+        metrics["incremental_skipped"] = metrics["partitions_resumed_skip"]
+        if scan_sec:
+            metrics["phase_times"]["fingerprint_scan"] = scan_sec
         return metrics
 
 

@@ -470,3 +470,104 @@ def test_schema_contract_gate(spark, corpus, tmp_path):
     assert not os.path.isdir(str(tmp_path / "run" / "markers"))
     # gate can be disabled explicitly
     assert ValidationSuite(schema_contract={}).schema_contract == {}
+
+
+def test_empty_input_run_records_null_threshold(spark, tmp_path):
+    """An empty corpus (or a snapshot whose partitions all vanished)
+    must complete with threshold=None, zero verdicts, and no unbound-
+    variable crash in stage B."""
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    suite = ValidationSuite(contamination=0.1)
+    m = suite.run(spark, empty, str(tmp_path / "run_empty"))
+    assert m["threshold"] is None
+    assert m["rows_total"] == 0 and m["partitions_total"] == 0
+    assert m["failed_partitions"] == []
+
+
+def test_incremental_fingerprint_scan_recomputes_only_changed(
+    spark, corpus, parent, tmp_path
+):
+    """run_incremental with no metadata hint: one map+agg fingerprint
+    scan pins exactly the changed partition; unchanged partitions are
+    skipped, a no-change rerun recomputes nothing, and the stale
+    partition's stats are genuinely recomputed over the new content."""
+    run_dir = str(tmp_path / "run_inc")
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    suite = ValidationSuite(contamination=0.1)
+    m0 = suite.run(spark, clean, run_dir, parent=parent)
+    n_langs = m0["partitions_total"]
+
+    # markers now carry fingerprints
+    mk = suite._read_marker(run_dir, "python")
+    assert mk["fingerprint"] is not None and mk["fingerprint"]["n"] > 0
+
+    # no-change incremental: nothing stale, zero stage-A work
+    m1 = suite.run_incremental(spark, clean, run_dir, parent=parent)
+    assert m1["incremental_stale"] == []
+    assert m1["stage_a_rows"] == 0
+    assert m1["incremental_skipped"] == n_langs
+    assert "fingerprint_scan" in m1["phase_times"]
+
+    # grow every python file: only that partition goes stale
+    changed = clean.withColumn(
+        "content",
+        F.when(F.col("lang") == "python", F.concat(F.col("content"), F.lit("\nx = 1")))
+        .otherwise(F.col("content")),
+    )
+    m2 = suite.run_incremental(spark, changed, run_dir, parent=parent)
+    assert m2["incremental_stale"] == ["python"]
+    assert m2["incremental_skipped"] == n_langs - 1
+    n_python = clean.where("lang = 'python'").count()
+    assert m2["stage_a_rows"] == n_python
+
+    # the recomputed stats reflect the new content (+6 chars per file)
+    stats = spark.read.parquet(os.path.join(run_dir, "stats"))
+    got = stats.where(
+        "lang = 'python' and col_name = 'content_length'"
+    ).collect()[0]["mean_v"]
+    want = (
+        derive_features(changed.where("lang = 'python'"))
+        .agg(F.avg("content_length"))
+        .collect()[0][0]
+    )
+    assert abs(got - want) < 1e-6
+    # verdicts still cover every lang
+    verdicts = spark.read.parquet(os.path.join(run_dir, "verdicts"))
+    assert verdicts.count() == n_langs
+
+
+def test_incremental_metadata_path_clears_stale_violations(
+    spark, corpus, parent, tmp_path
+):
+    """changed_partitions= (the Iceberg-snapshot-diff path): no
+    fingerprint scan runs, and a stale partition whose re-run is now
+    violation-free loses its old violation files — dynamic partition
+    overwrite alone would have left them behind."""
+    run_dir = str(tmp_path / "run_inc_meta")
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    suite = ValidationSuite(contamination=0.1)
+    suite.run(spark, clean, run_dir, parent=parent)
+
+    uniq = spark.read.parquet(os.path.join(run_dir, "uniqueness_violations"))
+    before = uniq.where("lang = 'js'").count()
+    assert before > 0, "fixture must plant duplicate keys in js"
+
+    # js arrives deduplicated in the next snapshot
+    fixed = clean.where("lang != 'js'").unionByName(
+        clean.where("lang = 'js'").dropDuplicates(["repo", "path", "commit"])
+    )
+    m = suite.run_incremental(
+        spark, fixed, run_dir, parent=parent, changed_partitions=["js"]
+    )
+    assert m["incremental_stale"] == ["js"]
+    assert "fingerprint_scan" not in m["phase_times"]
+
+    uniq2 = spark.read.parquet(os.path.join(run_dir, "uniqueness_violations"))
+    assert uniq2.where("lang = 'js'").count() == 0
+    # other partitions' violations are untouched
+    assert uniq2.count() == uniq.where("lang != 'js'").count()
+    # js's verdict flips to uniqueness_pass
+    v = spark.read.parquet(os.path.join(run_dir, "verdicts"))
+    assert v.where("lang = 'js'").collect()[0]["uniqueness_pass"]
