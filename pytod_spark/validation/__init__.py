@@ -1,4 +1,8 @@
 from .engine import ValidationSuite, partition_fingerprints  # noqa: F401
+from .snapshot import (  # noqa: F401
+    changed_partitions_between,
+    snapshot_listing,
+)
 from .features import derive_features  # noqa: F401
 from .schema import (  # noqa: F401
     CORPUS_CONTRACT,

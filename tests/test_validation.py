@@ -571,3 +571,51 @@ def test_incremental_metadata_path_clears_stale_violations(
     # js's verdict flips to uniqueness_pass
     v = spark.read.parquet(os.path.join(run_dir, "verdicts"))
     assert v.where("lang = 'js'").collect()[0]["uniqueness_pass"]
+
+
+def test_snapshot_listing_diff_feeds_incremental(spark, corpus, parent, tmp_path):
+    """Plain-parquet analogue of an Iceberg snapshot diff: new files
+    since the stored listing are pinned by a column-pruned read of
+    only those files, and the result drives run_incremental's
+    metadata path end-to-end."""
+    from pytod_spark.validation import (
+        changed_partitions_between,
+        snapshot_listing,
+    )
+
+    snap = str(tmp_path / "snap")
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    clean.write.parquet(snap)
+    listing = snapshot_listing(snap)
+    assert listing and all(v > 0 for v in listing.values())
+
+    run_dir = str(tmp_path / "run_snap")
+    suite = ValidationSuite(contamination=0.1)
+    suite.run(spark, spark.read.parquet(snap), run_dir, parent=parent)
+
+    # unchanged snapshot: nothing to do, zero data read
+    changed, removed = changed_partitions_between(spark, listing, snap)
+    assert changed == [] and removed == []
+
+    # append-style evolution: new files land for ONE lang
+    extra = clean.where("lang = 'rust'").limit(50).withColumn(
+        "path", F.concat(F.col("path"), F.lit(".new"))
+    )
+    extra.write.mode("append").parquet(snap)
+    changed, removed = changed_partitions_between(spark, listing, snap)
+    assert changed == ["rust"] and removed == []
+
+    m = suite.run_incremental(
+        spark, spark.read.parquet(snap), run_dir, parent=parent,
+        changed_partitions=changed,
+    )
+    assert m["incremental_stale"] == ["rust"]
+    n_rust = clean.where("lang = 'rust'").count() + 50
+    assert m["stage_a_rows"] == n_rust
+
+    # removed files are reported (immutability violated -> caller
+    # escalates to the fingerprint scan or full rerun)
+    some_file = next(iter(snapshot_listing(snap)))
+    os.remove(os.path.join(snap, some_file))
+    _, removed = changed_partitions_between(spark, snapshot_listing(snap) | {some_file: 1}, snap)
+    assert removed == [some_file]
