@@ -73,10 +73,15 @@ def main() -> int:
     ap.add_argument("--suite-only", action="store_true")
     ap.add_argument("--rows", type=int, default=int(os.environ.get("BENCH_ROWS", 100_000)))
     ap.add_argument("--skip-suite", action="store_true")
-    ap.add_argument("--query-reps", type=int, default=2,
+    ap.add_argument("--query-reps", type=int, default=3,
                     help="catalogue-query passes; each query reports its "
                     "BEST pass (noise-robust steady-state estimator; the "
-                    "cold first pass also ships verbatim as cold_queries)")
+                    "cold first pass also ships verbatim as cold_queries). "
+                    "3 passes because one steady pass is not enough on "
+                    "this host: measured back-to-back solo reps still "
+                    "drop 10-20% from pass 2 to pass 3 (allocator/page "
+                    "reuse), and a single noisy-neighbor spike otherwise "
+                    "corrupts a query's record")
     ap.add_argument(
         "--repeats", type=int, default=2,
         help="suite repetitions in one JVM; the best run is reported "
