@@ -241,6 +241,12 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
     if args.incremental or args.changed_partitions is not None:
+        if args.no_resume:
+            p.error(
+                "--no-resume contradicts --incremental/--changed-partitions "
+                "(incremental reuses the prior run by construction); drop "
+                "one of them — for a clean start-over use --no-resume alone"
+            )
         metrics = suite.run_incremental(
             spark, df, args.run_dir,
             changed_partitions=(

@@ -94,8 +94,12 @@ def partition_fingerprints(df: DataFrame, pcol: str, key_cols: list[str]) -> Dat
     each input split to |partitions| rows before the shuffle, so the
     scan is bandwidth-bound and ~10x cheaper than the full check
     suite it lets an incremental run skip. xor is commutative (file
-    order within a partition doesn't matter) and exact-duplicate rows
-    pairwise-cancel, which is why the row count rides along."""
+    order within a partition doesn't matter) but blind to changes in
+    identical-row PAIRS (h^h = 0 both before and after), so a decimal
+    SUM of the same hashes rides along: a pair contributes 2h vs 2h',
+    which the sum sees. decimal(28,0) inputs make the accumulator
+    decimal(38,0) — exact (no float rounding, no long wraparound /
+    ANSI overflow) up to ~10^19 rows per partition."""
     if "content_sha256" in df.columns:
         sha = F.col("content_sha256")
     else:
@@ -105,6 +109,7 @@ def partition_fingerprints(df: DataFrame, pcol: str, key_cols: list[str]) -> Dat
     return df.groupBy(pcol).agg(
         F.bit_xor(row_h).alias("fp"),
         F.count(F.lit(1)).alias("fp_n"),
+        F.sum(row_h.cast("decimal(28,0)")).cast("string").alias("fp_sum"),
     )
 
 
@@ -323,10 +328,7 @@ class ValidationSuite:
             # violations would otherwise keep its stale violation files
             import shutil
 
-            for sub in (
-                "markers", "stats", "uniqueness_violations", "ri_violations",
-                "drift_scores", "drift_violations", "dist_drift", "verdicts",
-            ):
+            for sub in ("markers", *_STAGE_A_OUTPUTS, "verdicts"):
                 shutil.rmtree(os.path.join(run_dir, sub), ignore_errors=True)
         os.makedirs(os.path.join(run_dir, "markers"), exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -577,7 +579,11 @@ class ValidationSuite:
                     pcol,
                     self.key_cols,
                 ).collect():
-                    sums["fp"][r[pcol]] = {"xor": int(r["fp"]), "n": int(r["fp_n"])}
+                    sums["fp"][r[pcol]] = {
+                        "xor": int(r["fp"]),
+                        "n": int(r["fp_n"]),
+                        "sum": str(r["fp_sum"]),
+                    }
 
             jobs = {
                 "stats": _job_stats,
@@ -654,6 +660,18 @@ class ValidationSuite:
             # stage-A output (the checkpoint contract). Every read is
             # gated on _has_parquet: a zero-row artifact (healthy
             # zero-violation run) has no files to infer a schema from.
+            # drift_violations is fully regenerated below from the
+            # persisted drift_scores under the NEW global threshold —
+            # clear it first: dynamic partition overwrite only touches
+            # partitions with >=1 violation under the new threshold,
+            # so a partition that dropped to zero (or left the table)
+            # would otherwise keep its old violation files while the
+            # verdicts say it passed
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(run_dir, "drift_violations"), ignore_errors=True
+            )
             drift = {}
             if self._has_parquet(os.path.join(run_dir, "drift_scores")):
                 # restrict to partitions present in the CURRENT
@@ -692,7 +710,7 @@ class ValidationSuite:
                     r[pcol]: r
                     for r in spark.read.parquet(
                         os.path.join(run_dir, "uniqueness_violations")
-                    ).groupBy(pcol).agg(
+                    ).where(F.col(pcol).isin(all_parts)).groupBy(pcol).agg(
                         F.count(F.lit(1)).alias("k"),
                         F.sum(F.col("n_copies") - 1).alias("x"),
                     ).collect()
@@ -705,7 +723,7 @@ class ValidationSuite:
                     r[pcol]: r["count"]
                     for r in spark.read.parquet(
                         os.path.join(run_dir, "ri_violations")
-                    ).groupBy(pcol).count().collect()
+                    ).where(F.col(pcol).isin(all_parts)).groupBy(pcol).count().collect()
                 }
             dist = {}
             if self._has_parquet(os.path.join(run_dir, "dist_drift")):
@@ -713,7 +731,7 @@ class ValidationSuite:
                     r[pcol]: r
                     for r in spark.read.parquet(
                         os.path.join(run_dir, "dist_drift")
-                    ).groupBy(pcol).agg(
+                    ).where(F.col(pcol).isin(all_parts)).groupBy(pcol).agg(
                         F.max("psi").alias("pm"),
                         F.sum(
                             F.greatest("psi_drifted", "ks_drifted")
@@ -790,7 +808,9 @@ class ValidationSuite:
             "schema_ok": True,  # gate raised above otherwise
             "elapsed_sec": elapsed,
             "partitions_total": len(all_parts),
-            "partitions_resumed_skip": len(done),
+            # count only markers for partitions still in the table —
+            # a dropped partition's orphaned marker is not "reused"
+            "partitions_resumed_skip": len(done & set(all_parts)),
             "stage_a_rows": stage_a_rows,
             "rows_total": total_rows,
             "files_per_sec": stage_a_rows / elapsed if elapsed > 0 else 0.0,
@@ -851,6 +871,11 @@ class ValidationSuite:
         ``incremental_stale`` (partitions invalidated and recomputed)
         and ``incremental_skipped`` (unchanged partitions reused).
         """
+        if "resume" in run_kwargs:
+            raise ValueError(
+                "run_incremental is resume-by-construction; for a full "
+                "start-over call run(resume=False) instead"
+            )
         t_scan = time.time()
         pcol = self.partition_col
         done = self._done_partitions(run_dir)
@@ -859,7 +884,11 @@ class ValidationSuite:
             scan_sec = 0.0
         else:
             cur = {
-                str(r[pcol]): {"xor": int(r["fp"]), "n": int(r["fp_n"])}
+                str(r[pcol]): {
+                    "xor": int(r["fp"]),
+                    "n": int(r["fp_n"]),
+                    "sum": str(r["fp_sum"]),
+                }
                 for r in partition_fingerprints(
                     df, pcol, self.key_cols
                 ).collect()
@@ -875,6 +904,10 @@ class ValidationSuite:
                 # alone (stage B excludes it via the all_parts filter)
                 if part in cur and (stored is None or stored != cur[part]):
                     stale.add(part)
+            # the fingerprint scan already named every partition value
+            # present in df — hand that to run() so it skips its own
+            # discovery scan (a second full pass over the snapshot)
+            run_kwargs.setdefault("partitions", sorted(cur))
         for part in sorted(stale):
             self._invalidate_partition(run_dir, part)
         metrics = self.run(spark, df, run_dir, resume=True, **run_kwargs)

@@ -58,6 +58,8 @@ def changed_partitions_between(
     resized since ``old_listing``. Only the partition column of those
     files is read (column-pruned scan); unchanged files cost zero I/O.
     """
+    from urllib.parse import unquote
+
     new_listing = snapshot_listing(new_path)
     added = [
         rel
@@ -67,9 +69,29 @@ def changed_partitions_between(
     removed = [rel for rel in old_listing if rel not in new_listing]
     if not added:
         return [], removed
+    # hive-partitioned layout: the partition value is IN the path
+    # (Spark %-escapes special chars) — zero I/O, exactly like an
+    # Iceberg manifest's partition tuple
+    pref = f"{pcol}="
+    from_path = set()
+    for rel in added:
+        seg = next(
+            (s for s in rel.split(os.sep) if s.startswith(pref)), None
+        )
+        if seg is None:
+            break
+        from_path.add(unquote(seg[len(pref):]))
+    else:
+        return sorted(from_path), removed
+    # unpartitioned layout: column-pruned read of ONLY the added
+    # files (basePath keeps any partial hive structure resolvable)
     paths = [os.path.join(new_path, rel) for rel in added]
     changed = [
         r[0]
-        for r in spark.read.parquet(*paths).select(pcol).distinct().collect()
+        for r in spark.read.option("basePath", new_path)
+        .parquet(*paths)
+        .select(pcol)
+        .distinct()
+        .collect()
     ]
     return sorted(changed), removed

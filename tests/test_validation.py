@@ -619,3 +619,69 @@ def test_snapshot_listing_diff_feeds_incremental(spark, corpus, parent, tmp_path
     os.remove(os.path.join(snap, some_file))
     _, removed = changed_partitions_between(spark, snapshot_listing(snap) | {some_file: 1}, snap)
     assert removed == [some_file]
+
+
+def test_fingerprint_sees_identical_pair_change(spark):
+    """xor alone is blind to a change applied to BOTH copies of a
+    duplicated row (h^h = 0 before and after); the decimal-sum
+    component must catch it."""
+    from pytod_spark.validation import partition_fingerprints
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    dup = [("r", "p", "c", "go", "old")] * 2
+    a = spark.createDataFrame(dup, schema)
+    b = spark.createDataFrame([("r", "p", "c", "go", "new")] * 2, schema)
+    fa = partition_fingerprints(a, "lang", ["repo", "path", "commit"]).collect()[0]
+    fb = partition_fingerprints(b, "lang", ["repo", "path", "commit"]).collect()[0]
+    assert fa["fp"] == fb["fp"] == 0  # xor of the pair cancels
+    assert fa["fp_n"] == fb["fp_n"] == 2
+    assert fa["fp_sum"] != fb["fp_sum"]  # the sum sees it
+
+
+def test_snapshot_diff_hive_layout_zero_io(spark, corpus, tmp_path):
+    """Hive-partitioned snapshot: changed partition values come
+    straight from the added files' paths (no data read)."""
+    from pytod_spark.validation import (
+        changed_partitions_between,
+        snapshot_listing,
+    )
+
+    snap = str(tmp_path / "hive_snap")
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    clean.write.partitionBy("lang").parquet(snap)
+    listing = snapshot_listing(snap)
+
+    extra = clean.where("lang = 'go'").limit(20).withColumn(
+        "path", F.concat(F.col("path"), F.lit(".new"))
+    )
+    extra.write.partitionBy("lang").mode("append").parquet(snap)
+    changed, removed = changed_partitions_between(spark, listing, snap)
+    assert changed == ["go"] and removed == []
+
+
+def test_dropped_partition_loses_stale_drift_violations(
+    spark, corpus, parent, tmp_path
+):
+    """Stage B fully regenerates drift_violations: a partition that
+    leaves the table (or drops to zero violations under the new
+    threshold) must not keep old violation files on disk."""
+    from pytod_spark.datagen.repo_table import ANOMALY_LANG
+
+    run_dir = str(tmp_path / "run_drop")
+    # keep the planted anomalies so ANOMALY_LANG has drift violations
+    noisy = corpus.drop("is_orphan").drop("is_anomaly")
+    suite = ValidationSuite(contamination=0.1)
+    suite.run(spark, noisy, run_dir, parent=parent)
+    viol = spark.read.parquet(os.path.join(run_dir, "drift_violations"))
+    assert viol.where(F.col("lang") == ANOMALY_LANG).count() > 0
+
+    # next snapshot: the anomalous lang is gone from the table
+    shrunk = noisy.where(F.col("lang") != ANOMALY_LANG)
+    m = suite.run(spark, shrunk, run_dir, parent=parent)
+    assert ANOMALY_LANG not in m["failed_partitions"]
+    viol2 = spark.read.parquet(os.path.join(run_dir, "drift_violations"))
+    assert viol2.where(F.col("lang") == ANOMALY_LANG).count() == 0
+    v = spark.read.parquet(os.path.join(run_dir, "verdicts"))
+    assert v.where(F.col("lang") == ANOMALY_LANG).count() == 0
+    # resumed-skip counts only partitions still present
+    assert m["partitions_resumed_skip"] == v.count()
