@@ -78,12 +78,14 @@ def get_spark(
             master = None
         else:
             master = os.environ.get("SPARK_MASTER") or f"local[{cpus}]"
-    # remember whether partition sizing was an explicit caller/operator
-    # choice (argument or env) vs our sandbox default — the default
-    # must NOT override a spark-submit --conf on the cluster path below
-    shuffle_explicit = (
-        shuffle_partitions is not None or "SPARK_GRAFT_CPUS" in os.environ
-    )
+    # remember whether partition sizing was an explicit caller choice
+    # (argument) vs our sandbox default — the default must NOT
+    # override a spark-submit --conf on the cluster path below.
+    # SPARK_GRAFT_CPUS deliberately does NOT count as explicit: it is
+    # the harness's CPU-sizing knob (it sizes --master local[N]), and
+    # treating its mere presence as a shuffle-partition decision would
+    # stomp a submitted --conf spark.sql.shuffle.partitions.
+    shuffle_explicit = shuffle_partitions is not None
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(8, int(cpus))
 
@@ -123,29 +125,43 @@ def get_spark(
         # submitted conf didn't set the key; explicit caller choices
         # (extra_conf, shuffle_partitions arg / SPARK_GRAFT_CPUS)
         # still win over --conf.
+        # a session that ALREADY exists in this process (notebook
+        # kernel, repeated get_spark) may carry runtime tuning the
+        # user applied via spark.conf.set — those never appear in the
+        # submit-time SparkConf, so our defaults must not touch an
+        # existing session's runtime state at all; only a session we
+        # create here (on top of spark-submit's bare conf) gets them
+        existing = SparkSession.getActiveSession()
         spark = builder.getOrCreate()
         submitted = spark.sparkContext.getConf()
         explicit = dict(extra_conf or {})
         if shuffle_explicit:
             explicit["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-        for k, v in confs.items():
-            if (
-                k.startswith("spark.sql.")
-                and k not in explicit
-                and not submitted.contains(k)
-            ):
-                spark.conf.set(k, v)
+        if existing is None:
+            for k, v in confs.items():
+                if (
+                    k.startswith("spark.sql.")
+                    and k not in explicit
+                    and not submitted.contains(k)
+                ):
+                    spark.conf.set(k, v)
         for k, v in explicit.items():
             try:
                 spark.conf.set(k, v)
-            except Exception:
-                # static conf on a live JVM (e.g. driver memory in
-                # extra_conf) — same silent-warning outcome as the
-                # builder path would give; the JVM already decided it
-                warnings.warn(
-                    f"conf {k!r} cannot be applied to the running "
-                    "spark-submit session; pass it via --conf instead"
-                )
+            except Exception as e:
+                # only a static conf on a live JVM (driver memory,
+                # extraJavaOptions in extra_conf) is expected here —
+                # the JVM already decided it, warn and continue. An
+                # INVALID value (non-numeric partitions etc.) must
+                # surface as itself, not be misdiagnosed as static.
+                msg = str(e)
+                if "CANNOT_MODIFY_CONFIG" in msg or "Cannot modify" in msg:
+                    warnings.warn(
+                        f"conf {k!r} cannot be applied to the running "
+                        "spark-submit session; pass it via --conf instead"
+                    )
+                else:
+                    raise
         return spark
     for k, v in confs.items():
         builder = builder.config(k, v)

@@ -45,13 +45,7 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
         if ref.startswith(prefix):
             return spark.read.table(ref[len(prefix):])
     if "/" in ref or ref.endswith(".parquet") or not _IDENTIFIER_RE.match(ref):
-        # absolutize bare relative dirs: the caller's intent was
-        # checked against the Python process's cwd, but Spark resolves
-        # a relative path against the JVM's user.dir — these differ
-        # under pytest chdir / notebook kernels
-        if os.path.exists(ref):
-            ref = os.path.abspath(ref)
-        return spark.read.parquet(ref)
+        return spark.read.parquet(_absolutize_local(spark, ref))
     try:
         return spark.read.table(ref)
     except Exception as e:
@@ -59,10 +53,32 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
         # connectivity / permission / corrupt-metadata error must
         # surface as itself, not as an unrelated parquet path error
         if "TABLE_OR_VIEW_NOT_FOUND" in str(e) or "Table or view not found" in str(e):
-            if os.path.exists(ref):
-                ref = os.path.abspath(ref)
-            return spark.read.parquet(ref)
+            return spark.read.parquet(_absolutize_local(spark, ref))
         raise
+
+
+def _absolutize_local(spark: SparkSession, ref: str) -> str:
+    """Absolutize a bare relative dir, but ONLY when the session's
+    default filesystem is local: the caller's intent was checked
+    against the Python process's cwd, while Spark resolves a relative
+    path against the JVM's user.dir — these differ under pytest chdir
+    / notebook kernels. On a cluster whose fs.defaultFS is HDFS/S3 a
+    relative ref means a defaultFS-relative path, and rewriting it to
+    a driver-local abspath (that merely happens to exist in the
+    checkout) would point Spark at the wrong filesystem entirely."""
+    if "://" in ref or os.path.isabs(ref) or not os.path.exists(ref):
+        return ref
+    try:
+        default_fs = (
+            spark.sparkContext._jsc.hadoopConfiguration().get(
+                "fs.defaultFS", "file:///"
+            )
+        )
+    except Exception:
+        default_fs = "file:///"
+    if default_fs.startswith("file:"):
+        return os.path.abspath(ref)
+    return ref
 
 
 def write_table(df: DataFrame, ref: str, mode: str = "overwrite",

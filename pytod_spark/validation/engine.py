@@ -264,7 +264,10 @@ class ValidationSuite:
             )
         if reference_profile is not None:
             # driver-side metadata gate, mirroring the schema contract:
-            # a frame that is not a profile must fail before any work
+            # a frame that is not a profile must fail before any work.
+            # (The job-running feature-set gate lives in
+            # _job_dist_drift — it only costs a Spark job when the
+            # check actually runs, i.e. there is pending work.)
             from .profile import PROFILE_COLUMNS
 
             missing = [
@@ -276,26 +279,6 @@ class ValidationSuite:
                 raise ValueError(
                     f"reference_profile is missing column(s) {missing}; "
                     "build it with validation.profile.build_snapshot_profile"
-                )
-            # feature-set gate (one model-sized job on the profile,
-            # rows ~ |features| x |distinct values|): a profile built
-            # against an older/renamed FEATURE_COLS would otherwise
-            # pass the column gate and then full_outer-join into
-            # one-sided (partition, feature) groups, which the KS
-            # reader deliberately scores as D=1.0/drifted — i.e. a
-            # guaranteed false FAIL on every partition with no hint
-            # that the profile is stale. Fail loud instead.
-            profile_feats = {
-                r[0]
-                for r in reference_profile.select("feature").distinct().collect()
-            }
-            if profile_feats != set(FEATURE_COLS):
-                raise ValueError(
-                    "reference_profile feature set does not match this "
-                    f"engine's FEATURE_COLS: profile has {sorted(profile_feats)}, "
-                    f"engine expects {sorted(FEATURE_COLS)}. Rebuild the "
-                    "profile with the current pytod_spark version "
-                    "(CLI `profile` subcommand)."
                 )
 
         def _mark(label, start):
@@ -509,14 +492,39 @@ class ValidationSuite:
                 # scanned or shuffled twice.
                 stack_expr = feature_stack_expr(FEATURE_COLS)
                 if reference_profile is not None:
+                    # feature-set gate (one model-sized job on the
+                    # profile, rows ~ |features| x |distinct values|):
+                    # a profile built against an older/renamed
+                    # FEATURE_COLS would otherwise pass the column
+                    # gate and then full_outer-join into one-sided
+                    # (partition, feature) groups, which the KS reader
+                    # deliberately scores as D=1.0/drifted — a
+                    # guaranteed false FAIL on every partition with no
+                    # hint that the profile is stale. Fail loud.
+                    profile_feats = {
+                        r[0]
+                        for r in reference_profile.select("feature")
+                        .distinct()
+                        .collect()
+                    }
+                    if profile_feats != set(FEATURE_COLS):
+                        raise ValueError(
+                            "reference_profile feature set does not match "
+                            "this engine's FEATURE_COLS: profile has "
+                            f"{sorted(profile_feats)}, engine expects "
+                            f"{sorted(FEATURE_COLS)}. Rebuild the profile "
+                            "with the current pytod_spark version "
+                            "(CLI `profile` subcommand)."
+                        )
                     # prebuilt-profile path: the reference corpus is
                     # never touched — only its model-sized profile is
-                    # joined against this run's counts
-                    cur_counts = (
-                        feats.select(pcol, *FEATURE_COLS)
-                        .selectExpr(pcol, stack_expr)
-                        .groupBy(pcol, "feature", "value")
-                        .agg(F.count(F.lit(1)).alias("__n"))
+                    # joined against this run's counts. The counts
+                    # side MUST aggregate exactly like the profile
+                    # builder did — shared definition, not a copy
+                    from .profile import stacked_value_counts
+
+                    cur_counts = stacked_value_counts(
+                        feats.select(pcol, *FEATURE_COLS), pcol, FEATURE_COLS
                     )
                     per_val = combine_with_reference_profile(
                         reference_profile.where(F.col(pcol).isin(pending)),

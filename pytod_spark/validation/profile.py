@@ -61,12 +61,29 @@ def build_snapshot_profile(
     corpus per run is the difference between a bounded-cost check and
     doubling every run's I/O. Built by the CLI ``profile`` subcommand.
     """
-    from .features import FEATURE_COLS, derive_features
+    from .features import derive_features
+
+    return stacked_value_counts(
+        derive_features(snapshot), partition_col, feature_cols
+    )
+
+
+def stacked_value_counts(
+    feats: DataFrame,
+    partition_col: str,
+    feature_cols: list[str] | None = None,
+) -> DataFrame:
+    """(partition, feature, value) -> ``__n`` counts over
+    already-derived feature columns. The SINGLE definition of a
+    counts profile: both the persisted reference profile
+    (:func:`build_snapshot_profile`) and the engine's current-run
+    counts are built here, so the two sides of the dist-drift check
+    cannot desynchronize (the check's correctness contract is that
+    the sides aggregate identically)."""
+    from .features import FEATURE_COLS
 
     feature_cols = list(feature_cols or FEATURE_COLS)
-    long = derive_features(snapshot).selectExpr(
-        partition_col, feature_stack_expr(feature_cols)
-    )
+    long = feats.selectExpr(partition_col, feature_stack_expr(feature_cols))
     return long.groupBy(partition_col, "feature", "value").agg(
         F.count(F.lit(1)).alias("__n")
     )
