@@ -379,3 +379,42 @@ def test_get_spark_gateway_path_respects_submitted_conf(spark, monkeypatch):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "24"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_get_spark_existing_session_runtime_confs_preserved(spark, monkeypatch):
+    """Runtime tuning applied with spark.conf.set never appears in the
+    submit-time SparkConf — get_spark on an EXISTING session must not
+    reset it to our defaults (it only seeds defaults on sessions it
+    creates)."""
+    from pytod_spark.session import DEFAULT_CONFS, get_spark
+
+    # inject a default for a key the fixture's builder did NOT submit,
+    # so the only thing standing between it and the user's runtime
+    # value is the existing-session guard
+    key = "spark.sql.cbo.enabled"
+    assert not spark.sparkContext.getConf().contains(key)
+    monkeypatch.setitem(DEFAULT_CONFS, key, "false")
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "12345")
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "true")  # user runtime tuning
+        s2 = get_spark(app_name="pytod_spark-tests")
+        assert s2 is spark
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, before)
+
+
+def test_get_spark_gateway_invalid_conf_value_surfaces(spark, monkeypatch):
+    """A genuinely invalid conf value must raise, not be misdiagnosed
+    as an unmodifiable static conf and warned away."""
+    import pytest as _pytest
+
+    from pytod_spark.session import get_spark
+
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "12345")
+    with _pytest.raises(Exception, match="(?i)partitions|invalid|number"):
+        get_spark(
+            app_name="pytod_spark-tests",
+            extra_conf={"spark.sql.shuffle.partitions": "eight"},
+        )
