@@ -168,6 +168,53 @@ class SparkDetector:
             scores, self.contamination, score_col="score", group_cols=group_cols
         )
 
+    def fit_predict(
+        self,
+        df: DataFrame,
+        id_col: str = "row_id",
+        features_col: str = "features",
+        group_cols: Iterable[str] = (),
+        n_rows: int | None = None,
+    ) -> DataFrame:
+        """Fit, then return the binary outlier label per row.
+
+        Parity: ``pytod/models/base.py:115-137`` (fit -> labels_),
+        DataFrame-in / DataFrame-out: (group_cols..., id_col, label),
+        label 1 = outlier.
+        """
+        group_cols = list(group_cols)
+        return self.fit_df(df, id_col, features_col, group_cols, n_rows).select(
+            *group_cols, id_col, "label"
+        )
+
+    def fit_predict_score(
+        self,
+        df: DataFrame,
+        y_col: str = "y",
+        id_col: str = "row_id",
+        features_col: str = "features",
+        n_rows: int | None = None,
+        scoring: str = "roc_auc_score",
+    ) -> float:
+        """Fit, score, and evaluate against ground truth ``y_col``.
+
+        Parity: ``pytod/models/base.py:317-358`` — scoring is
+        ``'roc_auc_score'`` or ``'prc_n_score'``; anything else raises
+        NotImplementedError (base.py:349-351). The metric aggregates
+        distributedly (validation/evaluate.py); only the one metric
+        value reaches the driver.
+        """
+        from ..validation.evaluate import precision_at_n, roc_auc
+
+        scored = self.score_df(df, id_col, features_col, keep_cols=[y_col])
+        if scoring == "roc_auc_score":
+            row = roc_auc(scored, score_col="score", label_col=y_col).first()
+            return float(row["roc"])
+        if scoring == "prc_n_score":
+            row = precision_at_n(scored, score_col="score", label_col=y_col).first()
+            return float(row["p_at_n"])
+        raise NotImplementedError(f"scoring {scoring!r} is not implemented")
+
     def get_params(self) -> dict:
         """sklearn-style param introspection (base.py:438-468 parity)."""
         return {
