@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="prior snapshot of the same table; enables the PSI+KS dist-drift check (rescans the reference)")
     v.add_argument("--reference-profile", default=None,
                    help="PREBUILT counts profile of the reference snapshot (see the profile subcommand) — same check, reference never rescanned")
+    v.add_argument("--repeats", type=int, default=1,
+                   help="run the suite N times inside this one JVM "
+                   "(scaling/bench methodology: warmup accrues, best rep "
+                   "reported, all reps listed; each rep gets a fresh "
+                   "<run-dir>/repK and resume is forced off)")
     v.add_argument("--master", default=None)
 
     pr = sub.add_parser("profile", help="build the persistable drift profile of a snapshot (feeds validate --reference-profile)")
@@ -255,6 +260,24 @@ def main(argv: list[str] | None = None) -> int:
             ),
             **common,
         )
+    elif args.repeats > 1:
+        # best-of-N inside one JVM (the bench/scaling estimator:
+        # warmup — JIT, Python worker spawn, first-touch faults —
+        # accrues across reps; host noise is one-sided additive)
+        import os
+        import shutil
+        import time
+
+        reps, best = [], None
+        for k in range(args.repeats):
+            rd = os.path.join(args.run_dir, f"rep{k}")
+            shutil.rmtree(rd, ignore_errors=True)
+            t0 = time.time()
+            m = suite.run(spark, df, rd, resume=False, **common)
+            reps.append(round(time.time() - t0, 3))
+            if best is None or m["files_per_sec"] > best["files_per_sec"]:
+                best = m
+        metrics = {**best, "reps_sec": reps}
     else:
         metrics = suite.run(
             spark, df, args.run_dir, resume=not args.no_resume, **common

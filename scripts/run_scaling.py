@@ -19,7 +19,8 @@ Methodology (see BENCH/BASELINE.md for the numbers and rationale):
   with wall time, and host noise is one-sided additive;
 * levels run sequentially with nothing else on the host.
 
-Writes BENCH/BASELINE.md. Usage:
+Writes BENCH/scaling_autogen.md (BENCH/BASELINE.md is hand-maintained
+from it — this script must never clobber the curated narrative). Usage:
     python scripts/run_scaling.py [--rows 8000000] [--levels 2 8 32]
 """
 
@@ -231,11 +232,11 @@ concurrent jobs over one cached scan.
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", "scaling_autogen.md"), "w") as fh:
         fh.write(md)
     for a, b, e in pairs:
         print(f"eff {a}->{b}: {e:.3f}")
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/scaling_autogen.md (fold into BASELINE.md by hand)")
     return 0
 
 
