@@ -12,7 +12,10 @@ shapes — and check the INVARIANTS each kernel promises:
   equal the exact kernel's even when fp16 collapses ranks);
 * intersec1d == np.intersect1d;
 * ecdf_multiple's reference quirk restated independently via ranks;
-* histt == np.histogram over [min, max];
+* histt == np.histogram over [min, max] wherever torch.histc and
+  numpy agree (they diverge when a value sits a ULP from an interior
+  edge: torch floors (x-lo)/width with no correction, numpy compares
+  against the actual linspace edges — the parity contract is torch);
 * get_batch_index tiles [0, n) exactly;
 * connected_components == a pure-Python union-find on random graphs;
 * capped_self_join_pairs preserves within-bucket connectivity at any
@@ -24,7 +27,7 @@ jobs, not microseconds); the numpy properties run the default budget.
 
 import numpy as np
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from pytod_spark.oracle.operators import (
@@ -140,6 +143,17 @@ def test_histt_matches_numpy_histogram(a, bins):
         return  # degenerate range: torch.histc semantics diverge; not used
     counts, edges = histt(arr, bins=bins, density=False)
     ecounts, eedges = np.histogram(arr, bins=bins, range=(arr.min(), arr.max()))
+    # torch.histc (the parity contract) floors (x-lo)/width with no edge
+    # correction; numpy re-checks x against the linspace edges. A value
+    # within a ULP of an interior edge (e.g. -1e-38 with edges [-.5,0,.5])
+    # can land one bin apart. Cross-check against numpy only where the two
+    # upstream semantics agree; the divergent case is pinned below.
+    lo, hi = arr.min(), arr.max()
+    floor_idx = np.clip(
+        np.floor((arr - lo) / ((hi - lo) / bins)).astype(np.int64), 0, bins - 1
+    )
+    np_idx = np.clip(np.searchsorted(eedges, arr, side="right") - 1, 0, bins - 1)
+    assume(np.array_equal(floor_idx, np_idx))
     np.testing.assert_array_equal(counts, ecounts)
     np.testing.assert_allclose(edges, eedges)
     dcounts, _ = histt(arr, bins=bins, density=True)
@@ -147,6 +161,19 @@ def test_histt_matches_numpy_histogram(a, bins):
         arr, bins=bins, range=(arr.min(), arr.max()), density=True
     )
     np.testing.assert_allclose(dcounts, edens)
+
+
+def test_histt_edge_ulp_follows_torch_not_numpy():
+    """hypothesis-found divergence (2026-08-20): -1.17e-38 with edges
+    [-0.5, 0, 0.5]. (x - lo) / width rounds to exactly 1.0 in fp64, so
+    torch.histc's floor formula bins it HIGH (bin 1); numpy's edge
+    re-check (x < edges[1]) bins it LOW (bin 0). The parity contract is
+    torch.histc (reference basic_operators.py:261-278) — pin that."""
+    arr = np.array([0.5, -0.5, -1.1754943508222875e-38])
+    counts, edges = histt(arr, bins=2, density=False)
+    np.testing.assert_array_equal(counts, [1.0, 2.0])  # torch semantics
+    np_counts, _ = np.histogram(arr, bins=2, range=(-0.5, 0.5))
+    np.testing.assert_array_equal(np_counts, [2, 1])  # numpy disagrees
 
 
 @given(n=st.integers(1, 5000), b=st.integers(1, 600))
