@@ -234,6 +234,22 @@ def main(argv: list[str] | None = None) -> int:
         ))
         return 0
 
+    # flag-combination validation BEFORE any scan starts — a bad combo
+    # should fail in milliseconds, not after the input load
+    if args.incremental or args.changed_partitions is not None:
+        if args.repeats > 1:
+            p.error(
+                "--repeats is a cold-suite bench estimator and contradicts "
+                "--incremental/--changed-partitions (which reuse the prior "
+                "run); drop one of them"
+            )
+        if args.no_resume:
+            p.error(
+                "--no-resume contradicts --incremental/--changed-partitions "
+                "(incremental reuses the prior run by construction); drop "
+                "one of them — for a clean start-over use --no-resume alone"
+            )
+
     df = load_table(spark, args.input)
     parent = load_table(spark, args.parent) if args.parent else None
     suite = ValidationSuite(detector=args.detector, contamination=args.contamination)
@@ -246,12 +262,6 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
     if args.incremental or args.changed_partitions is not None:
-        if args.no_resume:
-            p.error(
-                "--no-resume contradicts --incremental/--changed-partitions "
-                "(incremental reuses the prior run by construction); drop "
-                "one of them — for a clean start-over use --no-resume alone"
-            )
         metrics = suite.run_incremental(
             spark, df, args.run_dir,
             changed_partitions=(

@@ -1,0 +1,80 @@
+"""CLI surface tests: flag-combination guards fire BEFORE any scan,
+and the validate subcommand's three execution paths (single run,
+--repeats best-of-N, guarded incremental) produce the documented JSON
+metrics. The CLI reuses the active test session (getOrCreate), so no
+second JVM is spawned."""
+
+import json
+import os
+
+import pytest
+
+from pytod_spark import cli
+from pytod_spark.datagen import generate_repo_table
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli_corpus") / "corpus")
+    generate_repo_table(spark, 3000, seed=7, n_partitions=4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _run(capsys, argv):
+    rc = cli.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, json.loads(out[-1])
+
+
+def test_incremental_rejects_repeats_before_any_scan(tmp_path):
+    # input path deliberately nonexistent: the guard must fire during
+    # arg validation, long before load_table would throw PATH_NOT_FOUND
+    with pytest.raises(SystemExit) as e:
+        cli.main([
+            "validate", "--input", str(tmp_path / "does_not_exist"),
+            "--run-dir", str(tmp_path / "run"),
+            "--incremental", "--repeats", "3",
+        ])
+    assert e.value.code == 2
+
+
+def test_incremental_rejects_no_resume_before_any_scan(tmp_path):
+    with pytest.raises(SystemExit) as e:
+        cli.main([
+            "validate", "--input", str(tmp_path / "does_not_exist"),
+            "--run-dir", str(tmp_path / "run"),
+            "--incremental", "--no-resume",
+        ])
+    assert e.value.code == 2
+
+
+def test_validate_single_run_emits_metrics(spark, corpus_path, tmp_path, capsys):
+    n = spark.read.parquet(corpus_path).count()  # datagen rounds up to a stride
+    rc, m = _run(capsys, [
+        "validate", "--input", corpus_path,
+        "--run-dir", str(tmp_path / "run"),
+    ])
+    assert rc == 0
+    assert m["schema_ok"] is True
+    assert m["stage_a_rows"] == n
+    assert m["files_per_sec"] > 0
+    assert m["partitions_total"] >= 1
+    # verdicts parquet landed in the run dir
+    assert os.path.isdir(str(tmp_path / "run" / "verdicts"))
+
+
+def test_validate_repeats_best_of_n(spark, corpus_path, tmp_path, capsys):
+    rc, m = _run(capsys, [
+        "validate", "--input", corpus_path,
+        "--run-dir", str(tmp_path / "reps"),
+        "--repeats", "2",
+    ])
+    assert rc == 0
+    assert len(m["reps_sec"]) == 2
+    # best rep's metrics pass through unchanged
+    assert m["stage_a_rows"] == spark.read.parquet(corpus_path).count()
+    # each rep got its own run dir
+    assert os.path.isdir(str(tmp_path / "reps" / "rep0"))
+    assert os.path.isdir(str(tmp_path / "reps" / "rep1"))
