@@ -41,14 +41,22 @@ runs at construction time.
 self-join (no size window, no persist) — the true uncapped plan, used
 as the control in scripts/skew_cap_probe.py.
 
-Plan shape (cap > 0): ONE data-scale exchange — the banded frame is
-window-annotated with the per-key size (a count over one unordered
-key partitioning), persisted (it feeds the cold self-join twice plus
-the hot branch and the optional stats job), and filtered into the two
-branches. The cold self-join shuffles on the same key the window
-already partitioned by. Hub metadata (subgroup ids + minima) is
-derived on the HOT SUBSET ONLY, so its extra window exchange moves
-just the hot rows — zero rows in the common all-cold case.
+Plan shape (cap > 0): per-key sizes come from a ``groupBy().count()``
+PARTIAL AGGREGATE joined back onto the banded frame — deliberately
+NOT a ``Window.partitionBy(key)`` count. A window would (a) shuffle
+every full-width row, (b) sort it, and (c) buffer each key's rows in
+ONE task — i.e. the operator built to defuse a 10M-row hot bucket
+would itself funnel those 10M rows through a single straggler, and
+AQE cannot split window exchanges. The aggregate's map-side combine
+never concentrates a key, the (key, count) shuffle is narrow, and the
+tag join is an ordinary join: AQE broadcasts the count frame when it
+is small (the usual case, under the 64 MB session threshold) and
+skew-splits the sort-merge fallback when it is not. The annotated
+frame is persisted (it feeds the cold self-join twice plus the hot
+branch and the optional stats job). Hub metadata (subgroup minima) is
+likewise a partial aggregate over the HOT SUBSET ONLY — a model-sized
+frame (n_hot_keys x n_hubs rows) joined back to the hot spokes —
+zero rows in the common all-cold case.
 """
 
 from __future__ import annotations
@@ -56,7 +64,7 @@ from __future__ import annotations
 import logging
 from collections.abc import Iterable
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
@@ -146,38 +154,35 @@ def capped_self_join_pairs(
     if not cap:
         return _exact_pairs(banded)
 
-    w = Window.partitionBy(*key_cols)
+    # per-key size via partial aggregate + tag join (NOT a window —
+    # see module docstring: map-side combine never concentrates a hot
+    # key in one task, and AQE can broadcast or skew-split a join)
+    counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__ksz"))
     ann = track(
-        banded.withColumn("__ksz", F.count(F.lit(1)).over(w))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        banded.join(counts, on=key_cols).persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     cold_pairs = _exact_pairs(ann.where(F.col("__ksz") <= cap))
 
-    # hub metadata is derived ON THE HOT SUBSET ONLY: the second
-    # window exchange moves just the hot rows (usually none), so the
-    # common all-cold case pays only a cached filter scan — not n_hubs
-    # extra aggregates in the main pass. A row's own subgroup always
-    # contains the row itself, so its subgroup-min is never NULL.
-    sub_mins = F.array(
-        *[
-            F.min(F.when(F.col("__g") == i, F.col(id_col))).over(w)
-            for i in range(n_hubs)
-        ]
-    )
-    hot = (
-        ann.where(F.col("__ksz") > cap)
-        .withColumn("__g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_hubs)))
-        .withColumn("__gmin", F.element_at(sub_mins, F.col("__g").cast("int") + 1))
+    # hub metadata is derived ON THE HOT SUBSET ONLY and as a partial
+    # aggregate: one (key, subgroup) row per hub — n_hot_keys * n_hubs
+    # rows total, zero in the common all-cold case. min_by carries the
+    # hub row's own payload columns. A subgroup with no members simply
+    # yields no hub row; every hot row still pairs with every hub that
+    # exists for its key.
+    hot = ann.where(F.col("__ksz") > cap).withColumn(
+        "__g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_hubs))
     )
     hubs = (
-        hot.where(F.col(id_col) == F.col("__gmin"))
-        .select(
-            *key_cols,
-            F.col(id_col).alias("__hub"),
-            *[F.col(c).alias(f"__h_{c}") for c in carry_cols],
+        hot.groupBy(*key_cols, "__g")
+        .agg(
+            F.min(F.col(id_col)).alias("__hub"),
+            *[
+                F.min_by(F.col(c), F.col(id_col)).alias(f"__h_{c}")
+                for c in carry_cols
+            ],
         )
-        .dropDuplicates([*key_cols, "__hub"])
+        .drop("__g")
     )
     spokes = hot.select(
         *key_cols,
