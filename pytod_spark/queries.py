@@ -374,23 +374,28 @@ FROM pairs GROUP BY ai ORDER BY row_id
 def q_ecdf_events(spark, sf_dir):
     """Reference ECDF construction per event_type (pytod
     basic_operators.py:226-244): output position = rank, value =
-    (matrix position of that rank's row + 1) / n."""
+    (matrix position of that rank's row + 1) / n.
+
+    Both ranks run on the bucketed two-pass core (operators/ranking.py)
+    rather than ``Window.partitionBy(event_type)``: event_type is a
+    LOW-CARDINALITY key, so a per-type window would funnel each type's
+    entire history through one sorting task at 10^12 rows; the bucketed
+    ranks keep every task under ~n/B rows with identical output."""
+    from .operators.ranking import bucketed_ranks, with_group_size
+
     ev = load(spark, sf_dir, "events")
-    gw = Window.partitionBy("event_type")
-    t = ev.select(
-        "event_type",
-        "value",
-        (F.row_number().over(gw.orderBy("event_id")) - 1).alias("pos"),
-        F.count(F.lit(1)).over(gw).alias("n"),
+    t = bucketed_ranks(
+        ev.select("event_type", "event_id", "value"),
+        key="event_id", tie="event_id", part_cols=["event_type"], out_asc="pos",
     )
-    r = t.select(
+    t = with_group_size(t, ["event_type"], out="__n")
+    r = bucketed_ranks(t, key="value", tie="pos",
+                       part_cols=["event_type"], out_asc="out_pos")
+    return r.select(
         "event_type",
-        (F.row_number().over(gw.orderBy(F.col("value").asc(), F.col("pos").asc())) - 1).alias(
-            "out_pos"
-        ),
-        F.round((F.col("pos") + 1) / F.col("n"), 6).alias("ecdf"),
-    )
-    return r.orderBy("event_type", "out_pos")
+        "out_pos",
+        F.round((F.col("pos") + 1) / F.col("__n"), 6).alias("ecdf"),
+    ).orderBy("event_type", "out_pos")
 
 
 SQL_ECDF_EVENTS = """

@@ -5,11 +5,19 @@ per-partition pass/fail)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+
 from pyspark.sql import functions as F
 
 from .detectors import HBOS
-from .queries import load
+
+
+def load(spark, sf_dir, name):
+    # deferred: importing .queries at module level would make THIS
+    # module unimportable on its own (queries.py's trailing
+    # _merge_extra() imports us back mid-initialization)
+    from .queries import load as _load
+
+    return _load(spark, sf_dir, name)
 
 MAX_RATE = 0.15  # verdict bound (1.5 x contamination)
 
@@ -125,14 +133,22 @@ FROM s CROSS JOIN thr ORDER BY row_id
 def q_ecdf_window_rank(spark, sf_dir):
     """Conventional ECDF (rank/n) per event_type — the corrected
     counterpart of the reference quirk, used by engine consumers that
-    want a true per-row ECDF."""
+    want a true per-row ECDF. Runs on the bucketed two-pass ranking
+    core, not a per-event_type window: event_type is low-cardinality,
+    so the window form would sort each type's entire history in one
+    task at scale (same argument as queries.q_ecdf_events)."""
+    from .operators.ranking import bucketed_ranks, with_group_size
+
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
-    n = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
-    return ev.select(
+    t = bucketed_ranks(
+        ev.select("event_id", "event_type", "value"),
+        key="value", tie="event_id", part_cols=["event_type"], out_asc="__rk",
+    )
+    t = with_group_size(t, ["event_type"], out="__n")
+    return t.select(
         "event_id",
         "event_type",
-        F.round(F.row_number().over(w) / n, 6).alias("ecdf"),
+        F.round((F.col("__rk") + 1) / F.col("__n"), 6).alias("ecdf"),
     ).orderBy("event_id")
 
 
