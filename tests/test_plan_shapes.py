@@ -372,3 +372,34 @@ def test_quantize_transform_evaluates_once(spark):
 
     p = _plan(QUERIES["quantize_embeddings"](spark, SF))
     assert p.count("FLOOR") == 1
+
+
+def test_skew_cap_has_no_window_exchange(spark):
+    """The hot-bucket cap must derive per-key sizes and hub minima via
+    partial aggregates + tag joins, NEVER Window.partitionBy(key): a
+    window would sort and buffer each bucket's rows in one task — the
+    exact single-task funnel the cap exists to defuse — and AQE cannot
+    split window exchanges (it can broadcast/skew-split joins)."""
+    from pytod_spark.operators.skew import capped_self_join_pairs
+
+    banded = spark.range(500).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("doc_id")
+    )
+    p = _plan(capped_self_join_pairs(banded, ["k"], "doc_id", cap=8))
+    assert "Window" not in p
+    assert "HashAggregate" in p  # the per-key size partial aggregate
+
+
+def test_ecdf_queries_have_no_low_cardinality_window(spark):
+    """Both ECDF catalogue rows rank through the bucketed two-pass core;
+    a Window.partitionBy(event_type) would funnel each type's whole
+    history through one sorting task at scale. The only windows allowed
+    are the per-(type, bucket) within-bucket row_numbers, whose
+    partition keys include __bucket."""
+    from pytod_spark.queries import QUERIES
+
+    for name in ("ecdf_events", "ecdf_window_rank"):
+        p = _plan(QUERIES[name](spark, SF))
+        for line in p.splitlines():
+            if "Window " in line or line.strip().startswith("Window"):
+                assert "__bucket" in line, f"{name}: non-bucketed window: {line.strip()}"
