@@ -147,13 +147,21 @@ class ValidationSuite:
     # ------------------------------------------------------------ helpers
 
     def _marker_path(self, run_dir: str, part: str) -> str:
-        return os.path.join(run_dir, "markers", f"{part}.json")
+        # %-encode the partition value: a value containing os.sep (a
+        # lang like "c/c++") must not become a directory traversal in
+        # the marker filename. Plain alphanumerics are unchanged, so
+        # markers from earlier runs still resolve.
+        from urllib.parse import quote
+
+        return os.path.join(run_dir, "markers", f"{quote(str(part), safe='')}.json")
 
     def _done_partitions(self, run_dir: str) -> set[str]:
+        from urllib.parse import unquote
+
         mdir = os.path.join(run_dir, "markers")
         if not os.path.isdir(mdir):
             return set()
-        return {f[:-5] for f in os.listdir(mdir) if f.endswith(".json")}
+        return {unquote(f[:-5]) for f in os.listdir(mdir) if f.endswith(".json")}
 
     def _read_marker(self, run_dir: str, part: str) -> dict | None:
         try:

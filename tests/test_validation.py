@@ -685,3 +685,41 @@ def test_dropped_partition_loses_stale_drift_violations(
     assert v.where(F.col("lang") == ANOMALY_LANG).count() == 0
     # resumed-skip counts only partitions still present
     assert m["partitions_resumed_skip"] == v.count()
+
+
+def test_partition_value_with_separator_round_trips_markers(
+    spark, corpus, parent, tmp_path
+):
+    """A partition value containing os.sep and '+' (a lang like
+    'c/c++') must not turn the marker filename into a directory
+    traversal: markers are %-encoded on disk, _done_partitions
+    decodes them back, resume skips the partition, and metadata-path
+    invalidation removes exactly its marker + hive dir (Spark itself
+    %-escapes the hive dir name)."""
+    renamed = corpus.drop("is_anomaly", "is_orphan").withColumn(
+        "lang",
+        F.when(F.col("lang") == "python", F.lit("c/c++")).otherwise(F.col("lang")),
+    )
+    run_dir = str(tmp_path / "run_sep")
+    suite = ValidationSuite(contamination=0.1)
+    m0 = suite.run(spark, renamed, run_dir, parent=parent)
+    n_langs = m0["partitions_total"]
+
+    # marker landed as ONE encoded file (no nested dir), decodes back
+    mdir = os.path.join(run_dir, "markers")
+    assert "c%2Fc%2B%2B.json" in os.listdir(mdir)
+    assert "c/c++" in suite._done_partitions(run_dir)
+    assert suite._read_marker(run_dir, "c/c++")["fingerprint"]["n"] > 0
+
+    # resume: every partition (incl. the slash lang) is skipped
+    m1 = suite.run(spark, renamed, run_dir, parent=parent, resume=True)
+    assert m1["partitions_resumed_skip"] == n_langs
+
+    # metadata-path invalidation recomputes exactly the slash lang
+    m2 = suite.run_incremental(
+        spark, renamed, run_dir, parent=parent, changed_partitions=["c/c++"]
+    )
+    assert m2["incremental_stale"] == ["c/c++"]
+    assert m2["stage_a_rows"] == renamed.where(F.col("lang") == "c/c++").count()
+    verdicts = spark.read.parquet(os.path.join(run_dir, "verdicts"))
+    assert verdicts.where(F.col("lang") == "c/c++").count() == 1
