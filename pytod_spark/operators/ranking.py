@@ -114,6 +114,44 @@ def _cum_offsets(cnts: DataFrame, part_cols: Sequence[str],
     )
 
 
+# Frame-size budget for the plain per-group window fast path in
+# grouped_ranks: below it, even a single group's rows sort comfortably
+# in one task (4M rows x ~16B sort keys ~ 64 MB) and the bucketed
+# two-pass plan's ~5 extra metadata jobs dominate wall time (measured
+# 5.6s vs 1.5s on the sf0.1 ECDF rows). Same gate philosophy as
+# block_knn.fits_broadcast_budget: small input -> simple plan, scale
+# input -> the shape that survives 10^12 rows.
+SMALL_RANK_ROWS = 4_000_000
+
+
+def grouped_ranks(
+    df: DataFrame,
+    key: str,
+    tie: str,
+    part_cols: Sequence[str],
+    out_asc: str,
+    n_buckets: int = 64,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """0-based ascending rank of `key` (ties by `tie` asc) within
+    `part_cols`, dispatched by input size: a plain per-group window
+    when the frame is provably under ``SMALL_RANK_ROWS`` (plan
+    statistics via ``estimate_rows`` — no job; a count job only as the
+    last resort), the bucketed two-pass core otherwise. Output is
+    identical either way; only the physical plan changes."""
+    from .block_knn import estimate_rows
+
+    n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
+    if n <= SMALL_RANK_ROWS:
+        w = Window.partitionBy(*part_cols).orderBy(
+            F.col(key).asc(), F.col(tie).asc()
+        )
+        return df.withColumn(out_asc, F.row_number().over(w) - 1)
+    return bucketed_ranks(
+        df, key, tie, part_cols, out_asc=out_asc, n_buckets=n_buckets
+    )
+
+
 def bucketed_ranks(
     df: DataFrame,
     key: str,

@@ -376,21 +376,26 @@ def q_ecdf_events(spark, sf_dir):
     basic_operators.py:226-244): output position = rank, value =
     (matrix position of that rank's row + 1) / n.
 
-    Both ranks run on the bucketed two-pass core (operators/ranking.py)
-    rather than ``Window.partitionBy(event_type)``: event_type is a
-    LOW-CARDINALITY key, so a per-type window would funnel each type's
-    entire history through one sorting task at 10^12 rows; the bucketed
-    ranks keep every task under ~n/B rows with identical output."""
-    from .operators.ranking import bucketed_ranks, with_group_size
+    Both ranks run through ``grouped_ranks`` (operators/ranking.py):
+    event_type is a LOW-CARDINALITY key, so an unconditional per-type
+    window would funnel each type's entire history through one sorting
+    task at 10^12 rows — above the SMALL_RANK_ROWS budget the ranks
+    take the bucketed two-pass core; below it the plain window wins
+    (the two-pass plan's ~5 metadata jobs dominate at toy scale).
+    Output is identical either way."""
+    from .operators.block_knn import estimate_rows
+    from .operators.ranking import grouped_ranks, with_group_size
 
     ev = load(spark, sf_dir, "events")
-    t = bucketed_ranks(
+    n = estimate_rows(ev) or ev.count()  # parquet footer: no job
+    t = grouped_ranks(
         ev.select("event_type", "event_id", "value"),
-        key="event_id", tie="event_id", part_cols=["event_type"], out_asc="pos",
+        key="event_id", tie="event_id", part_cols=["event_type"],
+        out_asc="pos", n_rows=n,
     )
     t = with_group_size(t, ["event_type"], out="__n")
-    r = bucketed_ranks(t, key="value", tie="pos",
-                       part_cols=["event_type"], out_asc="out_pos")
+    r = grouped_ranks(t, key="value", tie="pos",
+                      part_cols=["event_type"], out_asc="out_pos", n_rows=n)
     return r.select(
         "event_type",
         "out_pos",

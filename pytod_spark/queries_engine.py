@@ -133,14 +133,15 @@ FROM s CROSS JOIN thr ORDER BY row_id
 def q_ecdf_window_rank(spark, sf_dir):
     """Conventional ECDF (rank/n) per event_type — the corrected
     counterpart of the reference quirk, used by engine consumers that
-    want a true per-row ECDF. Runs on the bucketed two-pass ranking
-    core, not a per-event_type window: event_type is low-cardinality,
-    so the window form would sort each type's entire history in one
-    task at scale (same argument as queries.q_ecdf_events)."""
-    from .operators.ranking import bucketed_ranks, with_group_size
+    want a true per-row ECDF. Ranks through grouped_ranks: above the
+    SMALL_RANK_ROWS budget the bucketed two-pass core (event_type is
+    low-cardinality — an unconditional window would sort each type's
+    whole history in one task at scale), the plain window below it
+    (same dispatch + rationale as queries.q_ecdf_events)."""
+    from .operators.ranking import grouped_ranks, with_group_size
 
     ev = load(spark, sf_dir, "events")
-    t = bucketed_ranks(
+    t = grouped_ranks(
         ev.select("event_id", "event_type", "value"),
         key="value", tie="event_id", part_cols=["event_type"], out_asc="__rk",
     )

@@ -390,16 +390,34 @@ def test_skew_cap_has_no_window_exchange(spark):
     assert "HashAggregate" in p  # the per-key size partial aggregate
 
 
-def test_ecdf_queries_have_no_low_cardinality_window(spark):
-    """Both ECDF catalogue rows rank through the bucketed two-pass core;
-    a Window.partitionBy(event_type) would funnel each type's whole
-    history through one sorting task at scale. The only windows allowed
-    are the per-(type, bucket) within-bucket row_numbers, whose
-    partition keys include __bucket."""
+def test_ecdf_queries_bucket_their_windows_at_scale(spark, monkeypatch):
+    """Above the SMALL_RANK_ROWS budget both ECDF catalogue rows must
+    rank through the bucketed two-pass core — a plain
+    Window.partitionBy(event_type) would funnel each type's whole
+    history through one sorting task. Forcing the budget to 0 makes
+    the sf0.001 frame 'large': every window in the plan must then
+    partition by (..., __bucket)."""
+    from pytod_spark.operators import ranking
     from pytod_spark.queries import QUERIES
 
+    monkeypatch.setattr(ranking, "SMALL_RANK_ROWS", 0)
     for name in ("ecdf_events", "ecdf_window_rank"):
         p = _plan(QUERIES[name](spark, SF))
-        for line in p.splitlines():
-            if "Window " in line or line.strip().startswith("Window"):
-                assert "__bucket" in line, f"{name}: non-bucketed window: {line.strip()}"
+        windows = [
+            line for line in p.splitlines()
+            if "Window " in line or line.strip().startswith("Window")
+        ]
+        assert windows, f"{name}: expected within-bucket windows"
+        for line in windows:
+            assert "__bucket" in line, f"{name}: non-bucketed window: {line.strip()}"
+
+
+def test_ecdf_queries_take_the_window_fast_path_when_small(spark):
+    """Below the budget the dispatch must pick the plain window (the
+    two-pass plan's ~5 metadata jobs dominate at toy scale): no
+    __bucket machinery in the small-input plan."""
+    from pytod_spark.queries import QUERIES
+
+    p = _plan(QUERIES["ecdf_window_rank"](spark, SF))
+    assert "__bucket" not in p
+    assert "Window" in p
