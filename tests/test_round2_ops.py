@@ -85,6 +85,25 @@ def test_bucketed_ranks_grouped(spark):
         assert list(sub["ra"]) == list(exp)
 
 
+def test_grouped_ranks_dispatch_paths_agree(spark):
+    """grouped_ranks must return identical ranks from both physical
+    plans: the small-input window fast path (default here: 80 rows)
+    and the bucketed two-pass core (forced via n_rows above the
+    budget). Ties included."""
+    from pytod_spark.operators.ranking import SMALL_RANK_ROWS, grouped_ranks
+
+    rows = [(g, int(i), float((i * 37) % 7)) for g in ("a", "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, pos long, v double")
+    small = grouped_ranks(df, key="v", tie="pos", part_cols=["g"], out_asc="r")
+    large = grouped_ranks(
+        df, key="v", tie="pos", part_cols=["g"], out_asc="r",
+        n_rows=SMALL_RANK_ROWS + 1, n_buckets=4,
+    )
+    a = sorted(map(tuple, small.collect()))
+    b = sorted(map(tuple, large.collect()))
+    assert a == b
+
+
 def test_bucketed_cumsums_strict(spark):
     rng = np.random.default_rng(3)
     keys = rng.permutation(300).astype(float)
