@@ -114,6 +114,25 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
+    # flag-combination validation BEFORE the JVM: a bad combo should
+    # fail at argparse speed, not after session startup + py-files
+    # shipping (and, in a shared process, not after get_spark has
+    # already pinned the process-wide session to CLI defaults)
+    if args.cmd == "validate" and (
+        args.incremental or args.changed_partitions is not None
+    ):
+        if args.repeats > 1:
+            p.error(
+                "--repeats is a cold-suite bench estimator and contradicts "
+                "--incremental/--changed-partitions (which reuse the prior "
+                "run); drop one of them"
+            )
+        if args.no_resume:
+            p.error(
+                "--no-resume contradicts --incremental/--changed-partitions "
+                "(incremental reuses the prior run by construction); drop "
+                "one of them — for a clean start-over use --no-resume alone"
+            )
     spark = get_spark("pytod_spark-cli", master=getattr(args, "master", None))
     ensure_shipped(spark)
 
@@ -233,22 +252,6 @@ def main(argv: list[str] | None = None) -> int:
             {"profile_rows": spark.read.parquet(args.out).count()}
         ))
         return 0
-
-    # flag-combination validation BEFORE any scan starts — a bad combo
-    # should fail in milliseconds, not after the input load
-    if args.incremental or args.changed_partitions is not None:
-        if args.repeats > 1:
-            p.error(
-                "--repeats is a cold-suite bench estimator and contradicts "
-                "--incremental/--changed-partitions (which reuse the prior "
-                "run); drop one of them"
-            )
-        if args.no_resume:
-            p.error(
-                "--no-resume contradicts --incremental/--changed-partitions "
-                "(incremental reuses the prior run by construction); drop "
-                "one of them — for a clean start-over use --no-resume alone"
-            )
 
     df = load_table(spark, args.input)
     parent = load_table(spark, args.parent) if args.parent else None

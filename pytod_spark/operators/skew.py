@@ -51,9 +51,13 @@ AQE cannot split window exchanges. The aggregate's map-side combine
 never concentrates a key, the (key, count) shuffle is narrow, and the
 tag join is an ordinary join: AQE broadcasts the count frame when it
 is small (the usual case, under the 64 MB session threshold) and
-skew-splits the sort-merge fallback when it is not. The annotated
-frame is persisted (it feeds the cold self-join twice plus the hot
-branch and the optional stats job). Hub metadata (subgroup minima) is
+skew-splits the sort-merge fallback when it is not. The BANDED frame
+is persisted — `counts` and the tag join are two consumers of the
+upstream banding subtree with no shared exchange, so without the
+cache that subtree would evaluate twice; the tagged frame stays a
+cheap view (cached scan + broadcast join) for the cold self-join's
+two sides, the hot branch, and the optional stats job. Hub metadata
+(subgroup minima) is
 likewise a partial aggregate over the HOT SUBSET ONLY — a model-sized
 frame (n_hot_keys x n_hubs rows) joined back to the hot spokes —
 zero rows in the common all-cold case.
@@ -154,13 +158,21 @@ def capped_self_join_pairs(
     if not cap:
         return _exact_pairs(banded)
 
+    # Persist the BANDED frame, not the tagged join result: `counts`
+    # and the tag join are two consumers of the banding subtree (the
+    # signature/tokenization/winnowing work upstream), and they share
+    # no exchange ReuseExchange could exploit — without the persist
+    # that subtree would evaluate twice per materialization. The
+    # tagged frame (`ann`) stays a cheap view over the cache: each of
+    # its consumers replays one cached scan + the (normally broadcast)
+    # tag join, which is cheaper than caching a second full-width
+    # copy of the data.
+    banded = track(banded.persist(StorageLevel.MEMORY_AND_DISK))
     # per-key size via partial aggregate + tag join (NOT a window —
     # see module docstring: map-side combine never concentrates a hot
     # key in one task, and AQE can broadcast or skew-split a join)
     counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__ksz"))
-    ann = track(
-        banded.join(counts, on=key_cols).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    ann = banded.join(counts, on=key_cols)
 
     cold_pairs = _exact_pairs(ann.where(F.col("__ksz") <= cap))
 
@@ -215,8 +227,9 @@ def capped_self_join_pairs(
 
     if stats is not None:
         # opt-in diagnostic (the only eager work in this function):
-        # one aggregate over the persisted frame the join is about to
-        # reuse, so the extra cost is one cached scan
+        # one aggregate over the tagged view — a cached banded scan
+        # plus the (broadcast) tag join, the same cost every other
+        # consumer of `ann` pays
         hot_row = (
             ann.where(F.col("__ksz") > cap)
             .agg(

@@ -29,8 +29,10 @@ def _run(capsys, argv):
 
 
 def test_incremental_rejects_repeats_before_any_scan(tmp_path):
-    # input path deliberately nonexistent: the guard must fire during
-    # arg validation, long before load_table would throw PATH_NOT_FOUND
+    # input path deliberately nonexistent: the guard fires at argparse
+    # speed, BEFORE get_spark — so these tests cannot hijack the
+    # process-wide session with CLI defaults ahead of conftest's
+    # fixture, and a cluster submit fails without paying JVM startup
     with pytest.raises(SystemExit) as e:
         cli.main([
             "validate", "--input", str(tmp_path / "does_not_exist"),
