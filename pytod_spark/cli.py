@@ -118,6 +118,15 @@ def main(argv: list[str] | None = None) -> int:
     # fail at argparse speed, not after session startup + py-files
     # shipping (and, in a shared process, not after get_spark has
     # already pinned the process-wide session to CLI defaults)
+    if (
+        args.cmd == "validate"
+        and args.reference is not None
+        and args.reference_profile is not None
+    ):
+        p.error(
+            "pass either --reference (raw snapshot) or --reference-profile "
+            "(prebuilt counts profile), not both"
+        )
     if args.cmd == "validate" and (
         args.incremental or args.changed_partitions is not None
     ):

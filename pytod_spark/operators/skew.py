@@ -31,14 +31,15 @@ volume).
 
 No silent caps: pass ``stats`` (any dict) to run a small diagnostic
 aggregate — it fills hot_keys / hot_rows / pairs_capped and logs a
-WARNING when any key was capped. The production pipelines
-(pipeline.prepare_corpus, the CLI dedup path) pass it and surface the
-numbers in their metrics; the probe scripts record them in BENCH
-artifacts. Without ``stats`` the returned plan is FULLY LAZY — no job
+WARNING when any key was capped. The CLI ``dedup`` subcommand passes
+it and surfaces the numbers in its JSON; the probe scripts record
+them in BENCH artifacts. (``pipeline.prepare_corpus`` performs only
+EXACT dedup — a plain hash groupBy with no candidate join — so no cap
+can engage there and it has nothing to report.) Without ``stats`` the returned plan is FULLY LAZY — no job
 runs at construction time.
 
 ``cap=0`` disables capping entirely and returns the plain exact
-self-join (no size window, no persist) — the true uncapped plan, used
+self-join (no size pass, no persist) — the true uncapped plan, used
 as the control in scripts/skew_cap_probe.py.
 
 Plan shape (cap > 0): per-key sizes come from a ``groupBy().count()``
@@ -123,9 +124,11 @@ def capped_self_join_pairs(
                   volume; see module docstring).
 
     Returns (keep_cols…, a_name, b_name, carry_a…, carry_b…) — NOT
-    deduplicated (a pair can collide in several buckets, and on hot
-    buckets in several hubs); callers `.distinct()` or aggregate as
-    before.
+    deduplicated across buckets (a pair can collide in several
+    buckets); within ONE hot bucket each unordered pair appears at
+    most once (hub-hub orientations are deduplicated, so
+    multiplicity-counting callers only ever UNDER-count on capped
+    buckets). Callers `.distinct()` or aggregate as before.
     """
     from pyspark import StorageLevel
 
@@ -185,26 +188,39 @@ def capped_self_join_pairs(
     hot = ann.where(F.col("__ksz") > cap).withColumn(
         "__g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_hubs))
     )
-    hubs = (
-        hot.groupBy(*key_cols, "__g")
-        .agg(
-            F.min(F.col(id_col)).alias("__hub"),
-            *[
-                F.min_by(F.col(c), F.col(id_col)).alias(f"__h_{c}")
-                for c in carry_cols
-            ],
-        )
-        .drop("__g")
+    hubs_g = hot.groupBy(*key_cols, "__g").agg(
+        F.min(F.col(id_col)).alias("__hub"),
+        *[
+            F.min_by(F.col(c), F.col(id_col)).alias(f"__h_{c}")
+            for c in carry_cols
+        ],
     )
-    spokes = hot.select(
-        *key_cols,
-        F.col(id_col).alias("__spoke"),
-        *[F.col(c).alias(f"__s_{c}") for c in carry_cols],
+    hubs = hubs_g.drop("__g")
+    # a spoke that is itself a hub meets every other hub of its key
+    # from BOTH spoke perspectives; both orientations normalize to the
+    # same (a, b) row, which would double-count hub-hub pairs for
+    # multiplicity-counting callers (winnowing's n_shared). Flag
+    # hub-spokes via their own subgroup's min (a model-sized broadcast
+    # join) and keep only the spoke < hub orientation for them.
+    own = hubs_g.select(*key_cols, "__g", F.col("__hub").alias("__own_min"))
+    spokes = (
+        hot.select(
+            *key_cols,
+            "__g",
+            F.col(id_col).alias("__spoke"),
+            *[F.col(c).alias(f"__s_{c}") for c in carry_cols],
+        )
+        .join(own, on=[*key_cols, "__g"])
+        .withColumn("__s_is_hub", F.col("__spoke") == F.col("__own_min"))
+        .drop("__g", "__own_min")
     )
     hub_first = F.col("__hub") < F.col("__spoke")
     hot_pairs = (
         spokes.join(hubs, on=key_cols)
-        .where(F.col("__hub") != F.col("__spoke"))
+        .where(
+            (F.col("__hub") != F.col("__spoke"))
+            & (~F.col("__s_is_hub") | (F.col("__spoke") < F.col("__hub")))
+        )
         .select(
             *keep_cols,
             F.least("__hub", "__spoke").alias(a_name),

@@ -24,11 +24,24 @@ def cdist(a: np.ndarray, b: np.ndarray | None = None, p: float = 2.0) -> np.ndar
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     if p == 2.0:
-        # stable: sqrt of clipped squared distances via einsum gram trick
+        # fast path: squared distances via the einsum gram trick. The
+        # subtraction cancels catastrophically when the true distance
+        # is small relative to the operand magnitudes (absolute error
+        # ~eps * (|x|^2 + |y|^2), hypothesis-found at |x| ~ 1e4), so —
+        # mirroring the reference's own low-precision-with-recheck
+        # pattern (basic_operators.py:96-137) — entries whose gram
+        # result cannot be trusted are recomputed by direct
+        # differencing; the flagged set is tiny unless the data is
+        # adversarially far from the origin.
         aa = np.einsum("ij,ij->i", a, a)[:, None]
         bb = np.einsum("ij,ij->i", b, b)[None, :]
         sq = aa + bb - 2.0 * (a @ b.T)
         np.clip(sq, 0.0, None, out=sq)
+        err_band = 64.0 * np.finfo(np.float64).eps * (aa + bb)
+        ii, jj = np.nonzero(sq <= err_band)
+        if ii.size:
+            d = a[ii] - b[jj]
+            sq[ii, jj] = np.einsum("ij,ij->i", d, d)
         return np.sqrt(sq)
     diff = np.abs(a[:, None, :] - b[None, :, :]) ** p
     return diff.sum(axis=2) ** (1.0 / p)

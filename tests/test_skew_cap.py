@@ -224,3 +224,21 @@ def test_high_cap_is_bit_identical_to_uncapped(spark, fn_name):
     lo_pairs = {(a, b) for a, b, _ in lo_rows}
     # every capped pair is a true candidate pair
     assert lo_pairs <= hi_pairs
+
+
+def test_hot_bucket_pairs_unique_within_bucket(spark):
+    """Within ONE hot bucket every unordered pair must appear at most
+    once — in particular a hub-hub pair, which arrives from both spoke
+    perspectives and would otherwise double (inflating winnowing's
+    n_shared multiplicity so capped buckets could OVER-count, against
+    the documented undercount-only contract)."""
+    banded = spark.createDataFrame(
+        [(1, i) for i in range(40)], "band_key long, doc_id long"
+    )
+    rows = capped_self_join_pairs(banded, ["band_key"], "doc_id", cap=8).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate pair rows within one bucket"
+    assert all(a < b for a, b in pairs)
+    # connectivity still intact: every member pairs with some hub
+    touched = {d for p in pairs for d in p}
+    assert touched == set(range(40))
