@@ -116,7 +116,13 @@ class SparkDetector:
 
         if group_cols:
             return "distributed"
-        if fits_broadcast_budget(df, features_col, n_rows=n_rows):
+        # probe_jobs=False: an input whose row count the optimizer
+        # cannot prove is not worth a full-lineage count just to pick
+        # a strategy — default to distributed (callers that KNOW the
+        # input is small pass n_rows or strategy='kernel' explicitly)
+        if fits_broadcast_budget(
+            df, features_col, n_rows=n_rows, probe_jobs=False
+        ):
             return "kernel"
         return "distributed"
 

@@ -73,12 +73,46 @@ def estimate_rows(df: DataFrame):
     df.count()`` (the count fallback on a columnar source prunes to
     zero columns — cheap, but still a scheduled job)."""
     try:
-        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        plan = df._jdf.queryExecution().optimizedPlan()
+        rc = plan.stats().rowCount()
         if rc.isDefined():
             return int(str(rc.get()))
+        if plan.getClass().getSimpleName() == "LocalRelation":
+            return int(plan.data().size())
     except Exception:
         pass
     return None
+
+
+# leaves whose data lives on (or came through) the driver — counting
+# them re-evaluates bounded local data, cheap by construction.
+# createDataFrame produces LogicalRDD (sizeInBytes = Long.MaxValue,
+# i.e. "unknown", despite being a handful of local rows).
+_LOCAL_LEAVES = ("LocalRelation", "LogicalRDD")
+_UNKNOWN_SIZE = (1 << 63) - 1
+
+
+def _cheap_count_ok(df: DataFrame, max_bytes: int = 256 << 20) -> bool:
+    """True when counting ``df`` is provably cheap: every leaf of the
+    optimized plan is either driver-local data or a relation whose
+    estimated size totals under ``max_bytes`` — lineage over a few
+    hundred MB of source is bounded work no matter what sits above
+    it. Plan inspection only, no job; an unknown-size non-local leaf
+    makes the answer False."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() in _LOCAL_LEAVES:
+                continue
+            size = int(str(leaf.stats().sizeInBytes()))
+            if size >= _UNKNOWN_SIZE:
+                return False
+            total += size
+        return total <= max_bytes
+    except Exception:
+        return False
 
 
 def _lowprec_bottomk(A: np.ndarray, B: np.ndarray, kk: int, p: float):
@@ -222,6 +256,7 @@ def fits_broadcast_budget(
     features_col: str = "features",
     n_rows: int | None = None,
     budget: int = BROADCAST_MAX_ELEMS,
+    probe_jobs: bool = True,
 ) -> bool:
     """THE small-input gate, shared by every fast path that would
     otherwise re-implement it (kNN broadcast join here, the detectors'
@@ -230,10 +265,23 @@ def fits_broadcast_budget(
     so tuning the budget tunes all three). True when n x dim fits
     ``budget`` fp64 elements: n from ``n_rows`` if given, else plan
     statistics (``estimate_rows``), else a pruned count job; dim from
-    one head row. ``budget=0`` disables (always False)."""
+    one head row. ``budget=0`` disables (always False).
+
+    ``probe_jobs=False`` bounds the count fallback: when the optimizer
+    cannot prove a row count, the count job runs only if the plan's
+    leaves are provably small (``_cheap_count_ok``) — otherwise answer
+    False (take the distributed path) instead of executing a large
+    frame's entire upstream lineage just to pick a strategy. This is
+    the default for ``strategy='auto'`` dispatch, where an unprovable
+    big input is exactly the derived frame that resolves to
+    'distributed' anyway and would pay the probe twice."""
     if not budget:
         return False
-    n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
+    n = n_rows if n_rows is not None else estimate_rows(df)
+    if n is None:
+        if not probe_jobs and not _cheap_count_ok(df):
+            return False
+        n = df.count()
     if not 0 < n <= budget:
         return False
     head = df.select(features_col).head(1)

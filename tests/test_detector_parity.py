@@ -205,3 +205,25 @@ def test_abod_grouped_repeating_ids_no_fanout(spark):
             np.array([r["score"] for r in grp]), np_abod(X, n_neighbors=5),
             rtol=1e-7,
         )
+
+
+def test_auto_strategy_never_counts_expensive_lineage(spark, f1_df):
+    """The auto probe must not execute a large frame's upstream
+    lineage just to pick a strategy: when the optimizer can't prove a
+    row count AND the plan's leaves aren't provably small
+    (_cheap_count_ok), resolution answers 'distributed' with ZERO
+    jobs. Simulated by shrinking the cheap-count byte budget to 0 so
+    even the small fixture counts as expensive."""
+    from pytod_spark.operators import block_knn
+
+    det = ECOD()
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    orig = block_knn._cheap_count_ok
+    block_knn._cheap_count_ok = lambda df, max_bytes=0: False
+    try:
+        assert det._resolve_strategy(f1_df, "features", [], None) == "distributed"
+    finally:
+        block_knn._cheap_count_ok = orig
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "strategy probe ran a Spark job"
