@@ -47,37 +47,65 @@ def cdist(a: np.ndarray, b: np.ndarray | None = None, p: float = 2.0) -> np.ndar
     return diff.sum(axis=2) ** (1.0 / p)
 
 
-def topk(A: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row k largest (values sorted desc) + indices.
+def _partitioned_k(A: np.ndarray, k: int, largest: bool):
+    """Deterministic per-row k extreme values + indices, ordered by
+    (value, column index asc). torch.topk (the parity target) leaves
+    tie order unspecified; this implementation pins it to the same
+    (dist, nbr_id) contract the Spark tile path guarantees, so the
+    broadcast fast path and the tile plan return IDENTICAL rows even
+    when duplicate vectors tie at the rank-k boundary.
 
-    Parity: ``pytod/models/basic_operators.py:54-75`` (torch.topk sorts).
+    Hot path stays O(m) (argpartition); only rows where the boundary
+    value also appears among the UNSELECTED columns (an ambiguous
+    boundary tie — argpartition's pick among those is arbitrary) fall
+    back to a full (value, index) lexsort of that row."""
+    S = -A if largest else A
+    idx = np.argpartition(S, kth=k - 1, axis=1)[:, :k]
+    part = np.take_along_axis(S, idx, axis=1)
+    vk = part.max(axis=1)
+    amb = np.nonzero(
+        (S <= vk[:, None]).sum(axis=1) > k
+    )[0]
+    for r in amb:
+        full = np.lexsort((np.arange(S.shape[1]), S[r]))[:k]
+        idx[r] = full
+        part[r] = S[r, full]
+    order = np.lexsort((idx, part), axis=-1)
+    idx = np.take_along_axis(idx, order, axis=1)
+    vals = np.take_along_axis(part, order, axis=1)
+    return (-vals if largest else vals), idx
+
+
+def topk(A: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row k largest (values sorted desc, ties by index asc) +
+    indices.
+
+    Parity: ``pytod/models/basic_operators.py:54-75`` (torch.topk
+    sorts; tie order there is unspecified — pinned here, see
+    ``_partitioned_k``).
     """
     A = np.asarray(A)
     if A.ndim == 1:
         A = A[None, :]
         v, i = topk(A, k)
         return v[0], i[0]
-    idx = np.argpartition(-A, kth=k - 1, axis=1)[:, :k]
-    part = np.take_along_axis(A, idx, axis=1)
-    order = np.argsort(-part, axis=1, kind="stable")
-    return np.take_along_axis(part, order, axis=1), np.take_along_axis(idx, order, axis=1)
+    return _partitioned_k(A, k, largest=True)
 
 
 def bottomk(A: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row k smallest (values sorted asc) + indices.
+    """Per-row k smallest (values sorted asc, ties by index asc) +
+    indices.
 
     Parity: ``pytod/models/basic_operators.py:78-93``
-    (torch.topk(largest=False) returns ascending-sorted values).
+    (torch.topk(largest=False) returns ascending-sorted values; tie
+    order pinned, see ``_partitioned_k``).
     """
     A = np.asarray(A)
     if A.ndim == 1:
         A = A[None, :]
         v, i = bottomk(A, k)
         return v[0], i[0]
-    idx = np.argpartition(A, kth=k - 1, axis=1)[:, :k]
-    part = np.take_along_axis(A, idx, axis=1)
-    order = np.argsort(part, axis=1, kind="stable")
-    return np.take_along_axis(part, order, axis=1), np.take_along_axis(idx, order, axis=1)
+    return _partitioned_k(A, k, largest=False)
 
 
 def knn_full(A: np.ndarray, B: np.ndarray, k: int, p: float = 2.0):

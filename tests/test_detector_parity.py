@@ -227,3 +227,29 @@ def test_auto_strategy_never_counts_expensive_lineage(spark, f1_df):
         block_knn._cheap_count_ok = orig
     jobs_after = len(tracker.getJobIdsForGroup(None) or [])
     assert jobs_after == jobs_before, "strategy probe ran a Spark job"
+
+
+def test_knn_plans_agree_on_boundary_ties(spark):
+    """Duplicate feature vectors tie exactly at the rank-k boundary;
+    WHICH neighbor fills rank k must not depend on the physical plan
+    the size gate picks. Both the broadcast fast path and the tile
+    cogroup plan follow the (dist asc, nbr_id asc) contract, so their
+    full (row_id, nbr_id, rn) outputs are identical."""
+    from pytod_spark.operators.block_knn import knn_join
+
+    # 10 copies of one vector + a few distinct ones: every duplicate's
+    # k=3 neighborhood is a pure tie set
+    rows = [(i, [1.0, 2.0]) for i in range(10)]
+    rows += [(10 + i, [float(5 + i), 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "row_id long, features array<double>")
+    cols = ["row_id", "nbr_id", "rn"]
+    bcast = sorted(map(tuple, knn_join(df, 3, block_size=16).select(*cols).collect()))
+    tile = sorted(map(tuple, knn_join(
+        df, 3, block_size=16, broadcast_elems=0
+    ).select(*cols).collect()))
+    assert bcast == tile
+    # and the tie order is the documented one: self (dist 0) first,
+    # then the smallest tied ids (knn_join keeps self-distance; the
+    # detectors drop it via k+1)
+    nbrs0 = [t[1] for t in bcast if t[0] == 0]
+    assert nbrs0 == [0, 1, 2]
