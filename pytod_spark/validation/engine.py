@@ -61,6 +61,7 @@ hence not the engine default.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from collections.abc import Iterable
@@ -72,6 +73,8 @@ from pyspark.sql import functions as F
 from ..detectors import ALL_DETECTORS
 from .constraints import ri_violations, uniqueness_violations
 from .features import FEATURE_COLS, derive_features
+
+log = logging.getLogger(__name__)
 
 # every stage-A artifact that is partitioned by partition_col — the
 # set an incremental run must clear per stale partition (dynamic
@@ -330,6 +333,32 @@ class ValidationSuite:
         else:
             all_parts = [r[0] for r in df.select(pcol).distinct().collect()]
         done = self._done_partitions(run_dir) if resume else set()
+        if done:
+            # a marker only certifies the checks that RAN when it was
+            # written: resuming with a check the marker doesn't cover
+            # (a reference/profile added since -> dist_drift; a parent
+            # added since -> ri) must recompute the partition, not
+            # silently report the uncovered check as passed
+            required = {"stats", "uniqueness", "drift_scores"}
+            if parent is not None:
+                required.add("ri")
+            if reference is not None or reference_profile is not None:
+                required.add("dist_drift")
+            under_covered = sorted(
+                part
+                for part in done
+                if not required
+                <= set((self._read_marker(run_dir, part) or {}).get("checks") or [])
+            )
+            for part in under_covered:
+                self._invalidate_partition(run_dir, part)
+                done.discard(part)
+            if under_covered:
+                log.warning(
+                    "resume: %d partition marker(s) do not cover the "
+                    "requested check set %s — recomputing: %s",
+                    len(under_covered), sorted(required), under_covered,
+                )
         pending = sorted(set(all_parts) - done)
         fresh_full = not done and set(pending) == set(all_parts)
         stage_a_rows = 0
@@ -632,7 +661,15 @@ class ValidationSuite:
                         {
                             "partition": part,
                             "n_rows": sums["n_rows"].get(part, 0),
-                            "checks": ["stats", "uniqueness", "ri", "drift_scores"]
+                            # record only checks that actually RAN:
+                            # the resume coverage gate above compares
+                            # this list against the next run's request
+                            # (markers from before this rule listed
+                            # "ri" unconditionally — those over-claim
+                            # and a parent-adding resume won't detect
+                            # it; rerun with resume=False there)
+                            "checks": ["stats", "uniqueness", "drift_scores"]
+                            + (["ri"] if parent is not None else [])
                             + (
                                 ["dist_drift"]
                                 if (reference is not None
@@ -886,6 +923,17 @@ class ValidationSuite:
         Returns the same metrics dict as ``run``, plus
         ``incremental_stale`` (partitions invalidated and recomputed)
         and ``incremental_skipped`` (unchanged partitions reused).
+
+        Check-set coverage: markers certify WHICH checks ran, and
+        ``run``'s resume gate recomputes any partition whose marker
+        does not cover this run's request (e.g. a reference/profile
+        supplied for the first time). The reference snapshot itself is
+        assumed FROZEN across incremental runs (the deployment
+        contract of ``reference_profile``); swapping in a different
+        reference with unchanged current partitions requires
+        ``run(resume=False)`` or a fresh run_dir — content staleness
+        of the reference is not detectable from the current table's
+        fingerprints.
         """
         if "resume" in run_kwargs:
             raise ValueError(

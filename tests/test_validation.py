@@ -723,3 +723,53 @@ def test_partition_value_with_separator_round_trips_markers(
     assert m2["stage_a_rows"] == renamed.where(F.col("lang") == "c/c++").count()
     verdicts = spark.read.parquet(os.path.join(run_dir, "verdicts"))
     assert verdicts.where(F.col("lang") == "c/c++").count() == 1
+
+
+def test_resume_recomputes_when_new_check_is_requested(
+    spark, corpus, parent, tmp_path
+):
+    """A completion marker certifies only the checks that RAN when it
+    was written. Resuming with a reference added afterwards must NOT
+    skip the partitions (that would report dist_pass=True for a check
+    that never executed against the drifted reference) — the coverage
+    gate invalidates every under-covered marker and the dist check
+    runs for real."""
+    run_dir = str(tmp_path / "run_cover")
+    clean = corpus.drop("is_anomaly", "is_orphan")
+    shifted = clean.withColumn(
+        "content",
+        F.when(
+            F.col("lang") == "python",
+            F.concat(F.col("content"), F.lit("\n"), F.col("content")),
+        ).otherwise(F.col("content")),
+    )
+    suite = ValidationSuite(contamination=0.1)
+    # run 1: no reference — markers cover stats/uniqueness/ri/drift only
+    m0 = suite.run(spark, shifted, run_dir, parent=parent)
+    n_langs = m0["partitions_total"]
+    assert m0["partitions_resumed_skip"] == 0
+
+    # run 2: resume WITH a reference the current snapshot drifted from
+    m1 = suite.run(spark, shifted, run_dir, parent=parent,
+                   reference=clean, resume=True)
+    # every marker was under-covered -> nothing skipped, all recomputed
+    assert m1["partitions_resumed_skip"] == 0
+    assert m1["stage_a_rows"] == shifted.count()
+    verdicts = {
+        r["lang"]: r
+        for r in spark.read.parquet(os.path.join(run_dir, "verdicts")).collect()
+    }
+    assert not verdicts["python"]["dist_pass"]
+    assert verdicts["python"]["psi_max"] > 0.2
+
+    # run 3: resume with the same check set -> markers now cover it,
+    # everything skips, and the persisted dist results still feed the
+    # verdicts (dist_pass stays False for the drifted lang)
+    m2 = suite.run(spark, shifted, run_dir, parent=parent,
+                   reference=clean, resume=True)
+    assert m2["partitions_resumed_skip"] == n_langs
+    verdicts2 = {
+        r["lang"]: r
+        for r in spark.read.parquet(os.path.join(run_dir, "verdicts")).collect()
+    }
+    assert not verdicts2["python"]["dist_pass"]
