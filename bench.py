@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "stats_profile_sketch",
     "uniqueness_lineitem",
     "ri_lineitem_orders",
+    "constraint_report",
     "text_features",
     "token_entropy",
     "redact_docs",

@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="prior snapshot of the same table; enables the PSI+KS dist-drift check (rescans the reference)")
     v.add_argument("--reference-profile", default=None,
                    help="PREBUILT counts profile of the reference snapshot (see the profile subcommand) — same check, reference never rescanned")
+    v.add_argument("--constraint", action="append", default=[],
+                   metavar="NAME[@MAX_RATE]=PREDICATE",
+                   help="declarative row constraint over the feature frame "
+                        "(repeatable), e.g. 'path_len=content_length < 1e7' "
+                        "or 'has_tokens@0.01=token_count > 0'; a partition "
+                        "fails when its violation rate exceeds MAX_RATE "
+                        "(default 0)")
     v.add_argument("--repeats", type=int, default=1,
                    help="run the suite N times inside this one JVM "
                    "(scaling/bench methodology: warmup accrues, best rep "
@@ -142,6 +149,32 @@ def main(argv: list[str] | None = None) -> int:
                 "(incremental reuses the prior run by construction); drop "
                 "one of them — for a clean start-over use --no-resume alone"
             )
+    constraints = []
+    if args.cmd == "validate" and args.constraint:
+        # build every rule before the JVM starts — malformed specs,
+        # bad names, and bad rates fail in milliseconds (SQL
+        # parse/resolution errors surface at the engine's zero-job
+        # analysis gate, the earliest point a session exists)
+        from .validation import RowConstraint
+
+        for spec in args.constraint:
+            head, sep, pred = spec.partition("=")
+            if not sep or not pred.strip():
+                p.error(
+                    f"--constraint {spec!r}: expected "
+                    "NAME[@MAX_RATE]=PREDICATE"
+                )
+            name, at, rate = head.partition("@")
+            try:
+                constraints.append(
+                    RowConstraint(
+                        name.strip(),
+                        pred.strip(),
+                        max_violation_rate=float(rate) if at else 0.0,
+                    )
+                )
+            except ValueError as exc:
+                p.error(f"--constraint {spec!r}: {exc}")
     spark = get_spark("pytod_spark-cli", master=getattr(args, "master", None))
     ensure_shipped(spark)
 
@@ -264,7 +297,11 @@ def main(argv: list[str] | None = None) -> int:
 
     df = load_table(spark, args.input)
     parent = load_table(spark, args.parent) if args.parent else None
-    suite = ValidationSuite(detector=args.detector, contamination=args.contamination)
+    suite = ValidationSuite(
+        detector=args.detector,
+        contamination=args.contamination,
+        constraints=constraints,
+    )
     common = dict(
         parent=parent,
         reference=load_table(spark, args.reference) if args.reference else None,

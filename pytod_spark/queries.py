@@ -1032,6 +1032,9 @@ def render_generated_oracles(sf_dir: str = DRIVER_SF_DIR) -> None:
 # sweep (scripts/check_queries.py, all rows) and multiple prior
 # green driver rounds.
 _DRIVER_PRIORITY = [
+    # new in round 4 — never driver-checked
+    "constraint_report",
+    "constraint_violation_docs",
     # never driver-checked through round 3
     "doc_logprob",
     "training_mix_report",

@@ -161,14 +161,98 @@ FROM events ORDER BY event_id
 """
 
 
+def q_constraint_report(spark, sf_dir):
+    """Declarative row-constraint check (validation/constraints.py
+    RowConstraint) over the documents table: per-(lang, rule) counts,
+    violation rate, and pass/fail against each rule's own
+    max_violation_rate. One partial-aggregating groupBy — the exact
+    engine path ValidationSuite's constraint stage runs; predicates
+    are pure SQL, so the DuckDB oracle evaluates the same strings
+    verbatim (NULL-hostile: a NULL predicate result is a violation)."""
+    from .validation.constraints import RowConstraint, row_constraint_summary
+
+    d = load(spark, sf_dir, "documents")
+    cs = [
+        RowConstraint("len_bound", "n_chars <= 500"),
+        RowConstraint("len_soft", "n_chars <= 520", max_violation_rate=0.08),
+        RowConstraint("src_format", "source LIKE 'src%'"),
+    ]
+    return (
+        row_constraint_summary(d, cs, ["lang"])
+        .select(
+            "lang", "constraint", "n_rows", "n_violations",
+            F.round("violation_rate", 6).alias("violation_rate"), "passed",
+        )
+        .orderBy("lang", "constraint")
+    )
+
+
+SQL_CONSTRAINT_REPORT = """
+WITH g AS (
+  SELECT lang, count(*) AS n,
+         CAST(sum(CASE WHEN NOT coalesce(n_chars <= 500, false) THEN 1 ELSE 0 END) AS BIGINT) AS v_len,
+         CAST(sum(CASE WHEN NOT coalesce(n_chars <= 520, false) THEN 1 ELSE 0 END) AS BIGINT) AS v_soft,
+         CAST(sum(CASE WHEN NOT coalesce(source LIKE 'src%', false) THEN 1 ELSE 0 END) AS BIGINT) AS v_src
+  FROM documents GROUP BY lang),
+long AS (
+  SELECT lang, 'len_bound' AS constraint, n, v_len AS v, 0.0 AS budget FROM g
+  UNION ALL
+  SELECT lang, 'len_soft', n, v_soft, 0.08 FROM g
+  UNION ALL
+  SELECT lang, 'src_format', n, v_src, 0.0 FROM g)
+SELECT lang, "constraint", n AS n_rows, v AS n_violations,
+       round(v / n::DOUBLE, 6) AS violation_rate,
+       (v / n::DOUBLE) <= budget AS passed
+FROM long ORDER BY lang, "constraint"
+"""
+
+
+def q_constraint_violation_docs(spark, sf_dir):
+    """Row-level output of the same rules: each violating document
+    with the sorted list of rules it broke (one output row per doc —
+    no explode, the map-only plan of row_constraint_violations)."""
+    from .validation.constraints import RowConstraint, row_constraint_violations
+
+    d = load(spark, sf_dir, "documents")
+    cs = [
+        RowConstraint("len_bound", "n_chars <= 500"),
+        RowConstraint("src_format", "source LIKE 'src%'"),
+    ]
+    return (
+        row_constraint_violations(d, cs, keep_cols=["doc_id", "lang"])
+        .select(
+            "doc_id", "lang",
+            F.array_join("failed_constraints", ",").alias("failed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CONSTRAINT_VIOLATION_DOCS = """
+SELECT doc_id, lang,
+       concat_ws(',',
+         CASE WHEN NOT coalesce(n_chars <= 500, false) THEN 'len_bound' END,
+         CASE WHEN NOT coalesce(source LIKE 'src%', false) THEN 'src_format' END
+       ) AS failed
+FROM documents
+WHERE NOT coalesce(n_chars <= 500, false)
+   OR NOT coalesce(source LIKE 'src%', false)
+ORDER BY doc_id
+"""
+
+
 ENGINE_QUERIES = {
     "drift_verdicts": q_drift_verdicts,
     "knn_drift_labels": q_knn_drift_labels,
     "ecdf_window_rank": q_ecdf_window_rank,
+    "constraint_report": q_constraint_report,
+    "constraint_violation_docs": q_constraint_violation_docs,
 }
 
 ENGINE_ORACLES = {
     "drift_verdicts": SQL_DRIFT_VERDICTS,
     "knn_drift_labels": SQL_KNN_DRIFT_LABELS,
     "ecdf_window_rank": SQL_ECDF_WINDOW_RANK,
+    "constraint_report": SQL_CONSTRAINT_REPORT,
+    "constraint_violation_docs": SQL_CONSTRAINT_VIOLATION_DOCS,
 }

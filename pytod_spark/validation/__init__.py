@@ -1,4 +1,9 @@
 from .engine import ValidationSuite, partition_fingerprints  # noqa: F401
+from .constraints import (  # noqa: F401
+    RowConstraint,
+    row_constraint_summary,
+    row_constraint_violations,
+)
 from .snapshot import (  # noqa: F401
     changed_partitions_between,
     snapshot_listing,

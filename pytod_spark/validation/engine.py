@@ -7,8 +7,10 @@ content):
     contract columns present with contract types, else fail fast
   stage A (resumable per partition, idempotent writes):
     features -> per-partition column stats -> uniqueness violations ->
-    referential-integrity violations -> drift scores (pytod-parity
-    detector per partition)
+    referential-integrity violations -> declarative row-constraint
+    violations (user RowConstraint predicates, validation/
+    constraints.py) -> drift scores (pytod-parity detector per
+    partition)
   stage B (cheap, recomputed every run from stage-A output):
     global score threshold -> drift violations/labels ->
     per-partition pass/fail verdicts + metrics
@@ -71,7 +73,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..detectors import ALL_DETECTORS
-from .constraints import ri_violations, uniqueness_violations
+from .constraints import (
+    RowConstraint,
+    ri_violations,
+    row_constraint_summary,
+    row_constraint_violations,
+    uniqueness_violations,
+    validate_constraints,
+)
 from .features import FEATURE_COLS, derive_features
 
 log = logging.getLogger(__name__)
@@ -87,6 +96,8 @@ _STAGE_A_OUTPUTS = (
     "drift_scores",
     "drift_violations",
     "dist_drift",
+    "constraint_violations",
+    "constraint_summary",
 )
 
 
@@ -127,6 +138,7 @@ class ValidationSuite:
         max_outlier_rate: float | None = None,
         n_salt: int = 16,
         schema_contract: dict | None = None,
+        constraints: Iterable[RowConstraint] | None = None,
     ):
         # None -> derive the contract from key/partition columns +
         # content (all strings per the corpus table shape); pass {} to
@@ -146,6 +158,14 @@ class ValidationSuite:
         # thresholded outliers exceeds this rate
         self.max_outlier_rate = max_outlier_rate or 1.5 * contamination
         self.n_salt = n_salt
+        # declarative row-level rules (validation/constraints.py
+        # RowConstraint): predicates over the FEATURE FRAME's columns
+        # — key cols, partition col, content_sha256, and the derived
+        # numerics in FEATURE_COLS (raw content is dropped before the
+        # checks run; express content rules via content_length /
+        # token_count etc.). Validated against that exact schema by a
+        # zero-job analysis gate at run() start.
+        self.constraints = list(constraints) if constraints else []
 
     # ------------------------------------------------------------ helpers
 
@@ -314,6 +334,19 @@ class ValidationSuite:
                     raise SchemaContractError(
                         [{**v, "frame": "reference"} for v in rviol]
                     )
+        if self.constraints:
+            # zero-job analysis gate against the EXACT schema the
+            # constraints will see (the projected feature frame): a
+            # typo'd column or a predicate over raw `content` (dropped
+            # before checks run) fails here, before any scan
+            probe = df
+            if "row_id" not in probe.columns:
+                probe = probe.withColumn("row_id", F.lit(0).cast("bigint"))
+            probe = derive_features(probe).select(
+                self.partition_col, "row_id", *self.key_cols,
+                "content_sha256", *FEATURE_COLS, "features",
+            )
+            validate_constraints(probe, self.constraints)
 
         if not resume and os.path.isdir(run_dir):
             # resume=False into an existing run_dir means START OVER:
@@ -344,6 +377,8 @@ class ValidationSuite:
                 required.add("ri")
             if reference is not None or reference_profile is not None:
                 required.add("dist_drift")
+            if self.constraints:
+                required.add("constraints")
             under_covered = sorted(
                 part
                 for part in done
@@ -366,7 +401,7 @@ class ValidationSuite:
         sums: dict[str, dict] = {
             "n_rows": {}, "dup_keys": {}, "extra_rows": {}, "orphans": {},
             "outliers": {}, "drift_n": {}, "psi_max": {}, "dist_drifted": {},
-            "fp": {},
+            "fp": {}, "constraint_viol": {}, "constraint_failed": {},
         }
         thr_box: dict[str, float] = {}
 
@@ -420,6 +455,39 @@ class ValidationSuite:
                 for r in viol.groupBy(pcol).count().collect():
                     sums["orphans"][r[pcol]] = r["count"]
                 viol.unpersist()
+
+            def _job_constraints():
+                if not self.constraints:
+                    return
+                # violations: one map-only codegen pass over the cached
+                # feature frame (no shuffle); summary: one partial-agg
+                # groupBy to model size. Both persisted partitioned —
+                # the summary is what a resumed stage B rebuilds
+                # per-constraint verdicts from.
+                viol = row_constraint_violations(
+                    feats,
+                    self.constraints,
+                    keep_cols=[pcol, *self.key_cols, "content_sha256"],
+                ).persist()
+                self._write_partitioned(
+                    viol, run_dir, "constraint_violations",
+                    n_values=len(pending),
+                )
+                for r in viol.groupBy(pcol).count().collect():
+                    sums["constraint_viol"][r[pcol]] = r["count"]
+                viol.unpersist()
+                summ = row_constraint_summary(
+                    feats, self.constraints, [pcol]
+                ).persist()
+                self._write_partitioned(
+                    summ, run_dir, "constraint_summary",
+                    n_values=len(pending),
+                )
+                for r in summ.groupBy(pcol).agg(
+                    F.sum((~F.col("passed")).cast("long")).alias("nf")
+                ).collect():
+                    sums["constraint_failed"][r[pcol]] = int(r["nf"])
+                summ.unpersist()
 
             def _job_drift():
                 det_cls = ALL_DETECTORS[self.detector]
@@ -634,6 +702,7 @@ class ValidationSuite:
                 "stats": _job_stats,
                 "uniqueness": _job_uniqueness,
                 "ri": _job_ri,
+                "constraints": _job_constraints,
                 "drift": _job_drift,
                 "dist_drift": _job_dist_drift,
                 "fingerprint": _job_fingerprint,
@@ -675,7 +744,8 @@ class ValidationSuite:
                                 if (reference is not None
                                     or reference_profile is not None)
                                 else []
-                            ),
+                            )
+                            + (["constraints"] if self.constraints else []),
                             "fingerprint": sums["fp"].get(part),
                             "completed_at": time.time(),
                         },
@@ -705,6 +775,10 @@ class ValidationSuite:
                     ),
                     "psi_max": float(sums["psi_max"].get(part, 0.0)),
                     "n_dist_drifted": int(sums["dist_drifted"].get(part, 0)),
+                    "n_constraint_viol": int(sums["constraint_viol"].get(part, 0)),
+                    "n_constraint_failed": int(
+                        sums["constraint_failed"].get(part, 0)
+                    ),
                 }
                 for part in all_parts
             ]
@@ -778,6 +852,28 @@ class ValidationSuite:
                         os.path.join(run_dir, "ri_violations")
                     ).where(F.col(pcol).isin(all_parts)).groupBy(pcol).count().collect()
                 }
+            cviol: dict = {}
+            cfail: dict = {}
+            if self.constraints and self._has_parquet(
+                os.path.join(run_dir, "constraint_violations")
+            ):
+                cviol = {
+                    r[pcol]: r["count"]
+                    for r in spark.read.parquet(
+                        os.path.join(run_dir, "constraint_violations")
+                    ).where(F.col(pcol).isin(all_parts)).groupBy(pcol).count().collect()
+                }
+            if self.constraints and self._has_parquet(
+                os.path.join(run_dir, "constraint_summary")
+            ):
+                cfail = {
+                    r[pcol]: int(r["nf"])
+                    for r in spark.read.parquet(
+                        os.path.join(run_dir, "constraint_summary")
+                    ).where(F.col(pcol).isin(all_parts)).groupBy(pcol).agg(
+                        F.sum((~F.col("passed")).cast("long")).alias("nf")
+                    ).collect()
+                }
             dist = {}
             if self._has_parquet(os.path.join(run_dir, "dist_drift")):
                 dist = {
@@ -806,6 +902,8 @@ class ValidationSuite:
                     ),
                     "psi_max": float(dist[part]["pm"]) if part in dist else 0.0,
                     "n_dist_drifted": int(dist[part]["nd"]) if part in dist else 0,
+                    "n_constraint_viol": int(cviol.get(part, 0)),
+                    "n_constraint_failed": int(cfail.get(part, 0)),
                 }
                 for part in all_parts
             ]
@@ -815,11 +913,17 @@ class ValidationSuite:
             v["ri_pass"] = v["n_orphans"] == 0
             v["drift_pass"] = v["outlier_rate"] <= self.max_outlier_rate
             v["dist_pass"] = v["n_dist_drifted"] == 0
+            # per-constraint rates are judged against each rule's own
+            # max_violation_rate inside row_constraint_summary; the
+            # verdict folds the count of FAILED rules (trivially 0
+            # when no constraints are configured)
+            v["constraint_pass"] = v["n_constraint_failed"] == 0
             v["partition_pass"] = (
                 v["uniqueness_pass"]
                 and v["ri_pass"]
                 and v["drift_pass"]
                 and v["dist_pass"]
+                and v["constraint_pass"]
             )
         # the verdict table is a handful of rows — write it from the
         # driver with pyarrow instead of scheduling a Spark job whose
@@ -837,10 +941,13 @@ class ValidationSuite:
                 ("outlier_rate", pa.float64()),
                 ("psi_max", pa.float64()),
                 ("n_dist_drifted", pa.int64()),
+                ("n_constraint_viol", pa.int64()),
+                ("n_constraint_failed", pa.int64()),
                 ("uniqueness_pass", pa.bool_()),
                 ("ri_pass", pa.bool_()),
                 ("drift_pass", pa.bool_()),
                 ("dist_pass", pa.bool_()),
+                ("constraint_pass", pa.bool_()),
                 ("partition_pass", pa.bool_()),
             ]
         )

@@ -80,3 +80,38 @@ def test_validate_repeats_best_of_n(spark, corpus_path, tmp_path, capsys):
     # each rep got its own run dir
     assert os.path.isdir(str(tmp_path / "reps" / "rep0"))
     assert os.path.isdir(str(tmp_path / "reps" / "rep1"))
+
+
+def test_constraint_spec_rejected_before_any_scan(tmp_path):
+    # malformed spec (no '='), bad rate, bad name: all die at argparse
+    # speed with the nonexistent input never touched
+    for spec in ["no_equals_here", "r@1.5=n < 1", "bad name!=n < 1"]:
+        with pytest.raises(SystemExit) as e:
+            cli.main([
+                "validate", "--input", str(tmp_path / "does_not_exist"),
+                "--run-dir", str(tmp_path / "run"),
+                "--constraint", spec,
+            ])
+        assert e.value.code == 2
+
+
+def test_validate_with_constraints_emits_verdict_columns(
+    spark, corpus_path, tmp_path, capsys
+):
+    rc, m = _run(capsys, [
+        "validate", "--input", corpus_path,
+        "--run-dir", str(tmp_path / "cons"),
+        # impossible bound -> every row violates; never-violated rule
+        # (with a parsed @rate) passes -> exactly one failed rule per
+        # partition
+        "--constraint", "impossible=content_length < 0",
+        "--constraint", "generous@0.999=token_count >= 0",
+    ])
+    assert rc == 0
+    v = spark.read.parquet(str(tmp_path / "cons" / "verdicts"))
+    rows = v.collect()
+    assert rows and all(not r["constraint_pass"] for r in rows)
+    assert all(r["n_constraint_failed"] == 1 for r in rows)
+    assert sum(r["n_constraint_viol"] for r in rows) == spark.read.parquet(
+        corpus_path
+    ).count()
