@@ -225,6 +225,36 @@ def main() -> int:
                 if dt <= timings.get("validation_suite_dist", dt):
                     timings["validation_suite_dist"] = dt
                     files_per_sec_dist = round(m2["files_per_sec"], 1)
+        # constraint-check variant: base suite + three declarative
+        # RowConstraint rules (one length bound, one rate-budgeted
+        # bound, one never-violated format rule). Timed as its own
+        # entry so the marginal cost of the sixth concurrent check —
+        # one map-only violations pass + one partial-agg summary over
+        # the cached feature frame — is visible per artifact.
+        if args.repeats:
+            from pytod_spark.validation import RowConstraint
+
+            bench_rules = [
+                RowConstraint("len_bound", "content_length <= 100000"),
+                RowConstraint("len_soft", "content_length <= 2000",
+                              max_violation_rate=0.25),
+                RowConstraint("path_format", "length(path) > 0"),
+            ]
+            for rep in range(args.repeats):
+                run_dir = os.path.join(
+                    "/tmp", f"pytod_bench_cons_{os.getpid()}_{rep}"
+                )
+                shutil.rmtree(run_dir, ignore_errors=True)
+                t0 = time.time()
+                m3 = ValidationSuite(
+                    contamination=0.1, constraints=bench_rules
+                ).run(spark, corpus, run_dir, parent=parent, resume=False)
+                dt = round(time.time() - t0, 3)
+                shutil.rmtree(run_dir, ignore_errors=True)
+                if rep == 0:
+                    cold["validation_suite_constraints"] = dt
+                if dt <= timings.get("validation_suite_constraints", dt):
+                    timings["validation_suite_constraints"] = dt
 
     total = round(sum(timings.values()), 3)
     out = {

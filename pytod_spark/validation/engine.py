@@ -167,6 +167,23 @@ class ValidationSuite:
         # zero-job analysis gate at run() start.
         self.constraints = list(constraints) if constraints else []
 
+    def _constraints_sig(self) -> str | None:
+        """Stable fingerprint of the configured rule set. Markers
+        record it so a resume under a DIFFERENT rule set recomputes
+        instead of silently reusing results the new rules never
+        produced (same contract as the check-coverage gate)."""
+        if not self.constraints:
+            return None
+        import hashlib
+
+        payload = json.dumps(
+            sorted(
+                (c.name, c.predicate, c.max_violation_rate)
+                for c in self.constraints
+            )
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
     # ------------------------------------------------------------ helpers
 
     def _marker_path(self, run_dir: str, part: str) -> str:
@@ -379,12 +396,18 @@ class ValidationSuite:
                 required.add("dist_drift")
             if self.constraints:
                 required.add("constraints")
-            under_covered = sorted(
-                part
-                for part in done
-                if not required
-                <= set((self._read_marker(run_dir, part) or {}).get("checks") or [])
-            )
+            sig = self._constraints_sig()
+
+            def _covered(part: str) -> bool:
+                marker = self._read_marker(run_dir, part) or {}
+                if not required <= set(marker.get("checks") or []):
+                    return False
+                # rule-set coverage: a marker written under different
+                # RowConstraint rules (or none) must not satisfy this
+                # run's constraint check
+                return sig is None or marker.get("constraints_sig") == sig
+
+            under_covered = sorted(part for part in done if not _covered(part))
             for part in under_covered:
                 self._invalidate_partition(run_dir, part)
                 done.discard(part)
@@ -746,6 +769,7 @@ class ValidationSuite:
                                 else []
                             )
                             + (["constraints"] if self.constraints else []),
+                            "constraints_sig": self._constraints_sig(),
                             "fingerprint": sums["fp"].get(part),
                             "completed_at": time.time(),
                         },

@@ -200,3 +200,33 @@ def test_suite_gate_rejects_unresolvable_constraint(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="does not parse/resolve"):
         suite.run(spark, corpus, str(tmp_path / "never_runs"))
     assert not os.path.isdir(str(tmp_path / "never_runs"))
+
+
+def test_resume_recomputes_when_rule_set_changes(spark, corpus, tmp_path):
+    """Markers record a fingerprint of the RowConstraint rule set;
+    resuming under DIFFERENT rules must recompute, not reuse results
+    the new rules never produced."""
+    run_dir = str(tmp_path / "run_sig")
+    a = ValidationSuite(
+        contamination=0.1,
+        constraints=[RowConstraint("loose", "content_length >= 0")],
+    )
+    m0 = a.run(spark, corpus, run_dir)
+    assert m0["partitions_resumed_skip"] == 0
+    v0 = spark.read.parquet(os.path.join(run_dir, "verdicts"))
+    assert all(r["constraint_pass"] for r in v0.collect())
+
+    # same check NAME, different rule -> fingerprints differ -> full
+    # recompute and the impossible rule fails every partition
+    b = ValidationSuite(
+        contamination=0.1,
+        constraints=[RowConstraint("loose", "content_length < 0")],
+    )
+    m1 = b.run(spark, corpus, run_dir, resume=True)
+    assert m1["partitions_resumed_skip"] == 0
+    v1 = spark.read.parquet(os.path.join(run_dir, "verdicts"))
+    assert all(not r["constraint_pass"] for r in v1.collect())
+
+    # unchanged rules -> markers cover, everything skips
+    m2 = b.run(spark, corpus, run_dir, resume=True)
+    assert m2["partitions_resumed_skip"] == m2["partitions_total"]
