@@ -162,6 +162,7 @@ def main() -> int:
 
     files_per_sec = None
     files_per_sec_dist = None
+    files_per_sec_cons = None
     if not args.skip_suite:
         from pytod_spark.datagen import generate_repo_table, repo_commits_dim
         from pytod_spark.validation import ValidationSuite
@@ -255,6 +256,7 @@ def main() -> int:
                     cold["validation_suite_constraints"] = dt
                 if dt <= timings.get("validation_suite_constraints", dt):
                     timings["validation_suite_constraints"] = dt
+                    files_per_sec_cons = round(m3["files_per_sec"], 1)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -266,6 +268,7 @@ def main() -> int:
         "cpus": int(cpus),
         "files_per_sec": files_per_sec,
         "files_per_sec_dist": files_per_sec_dist,
+        "files_per_sec_constraints": files_per_sec_cons,
         "recalls": recalls,
         "suite_rows": args.rows if not args.skip_suite else 0,
         "cold_queries": {k: v for k, v in cold.items()},

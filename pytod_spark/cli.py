@@ -175,6 +175,10 @@ def main(argv: list[str] | None = None) -> int:
                 )
             except ValueError as exc:
                 p.error(f"--constraint {spec!r}: {exc}")
+        names = [c.name for c in constraints]
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            p.error(f"duplicate --constraint name(s): {dupes}")
     spark = get_spark("pytod_spark-cli", master=getattr(args, "master", None))
     ensure_shipped(spark)
 

@@ -168,21 +168,40 @@ class ValidationSuite:
         self.constraints = list(constraints) if constraints else []
 
     def _constraints_sig(self) -> str | None:
-        """Stable fingerprint of the configured rule set. Markers
-        record it so a resume under a DIFFERENT rule set recomputes
-        instead of silently reusing results the new rules never
-        produced (same contract as the check-coverage gate)."""
+        """Stable fingerprint of the configured rule set — (name,
+        predicate) pairs only. Markers record it so a resume under a
+        DIFFERENT rule set recomputes instead of silently reusing
+        results the new rules never produced (same contract as the
+        check-coverage gate). max_violation_rate is deliberately NOT
+        part of the fingerprint: stage B judges the persisted
+        per-(partition, rule) violation_rate against the CURRENT
+        budgets, so retuning a budget re-verdicts for free instead of
+        re-running the whole stage-A suite."""
         if not self.constraints:
             return None
         import hashlib
 
         payload = json.dumps(
-            sorted(
-                (c.name, c.predicate, c.max_violation_rate)
-                for c in self.constraints
-            )
+            sorted((c.name, c.predicate) for c in self.constraints)
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    def _judge_constraint_rates(self, rate_rows) -> dict:
+        """Per-partition count of FAILED rules: persisted/collected
+        (partition, constraint, violation_rate) rows judged against
+        the current rule budgets (rules absent from the current set
+        are ignored — a removed rule changes the sig and forces a
+        recompute anyway)."""
+        budgets = {c.name: c.max_violation_rate for c in self.constraints}
+        failed: dict = {}
+        for r in rate_rows:
+            if r["constraint"] not in budgets:
+                continue
+            part = r[self.partition_col]
+            failed.setdefault(part, 0)
+            if (r["violation_rate"] or 0.0) > budgets[r["constraint"]]:
+                failed[part] += 1
+        return failed
 
     # ------------------------------------------------------------ helpers
 
@@ -499,17 +518,24 @@ class ValidationSuite:
                 for r in viol.groupBy(pcol).count().collect():
                     sums["constraint_viol"][r[pcol]] = r["count"]
                 viol.unpersist()
+                # the persisted summary carries counts + rates only —
+                # `passed` is a function of the CURRENT budgets and is
+                # always judged at stage B (_judge_constraint_rates),
+                # so a budget-only retune never leaves a stale verdict
+                # column behind and never forces a stage-A recompute
                 summ = row_constraint_summary(
                     feats, self.constraints, [pcol]
-                ).persist()
+                ).drop("passed").persist()
                 self._write_partitioned(
                     summ, run_dir, "constraint_summary",
                     n_values=len(pending),
                 )
-                for r in summ.groupBy(pcol).agg(
-                    F.sum((~F.col("passed")).cast("long")).alias("nf")
-                ).collect():
-                    sums["constraint_failed"][r[pcol]] = int(r["nf"])
+                sums["constraint_failed"].update(
+                    self._judge_constraint_rates(
+                        summ.select(pcol, "constraint", "violation_rate")
+                        .collect()
+                    )
+                )
                 summ.unpersist()
 
             def _job_drift():
@@ -890,14 +916,14 @@ class ValidationSuite:
             if self.constraints and self._has_parquet(
                 os.path.join(run_dir, "constraint_summary")
             ):
-                cfail = {
-                    r[pcol]: int(r["nf"])
-                    for r in spark.read.parquet(
+                cfail = self._judge_constraint_rates(
+                    spark.read.parquet(
                         os.path.join(run_dir, "constraint_summary")
-                    ).where(F.col(pcol).isin(all_parts)).groupBy(pcol).agg(
-                        F.sum((~F.col("passed")).cast("long")).alias("nf")
-                    ).collect()
-                }
+                    )
+                    .where(F.col(pcol).isin(all_parts))
+                    .select(pcol, "constraint", "violation_rate")
+                    .collect()
+                )
             dist = {}
             if self._has_parquet(os.path.join(run_dir, "dist_drift")):
                 dist = {

@@ -115,3 +115,14 @@ def test_validate_with_constraints_emits_verdict_columns(
     assert sum(r["n_constraint_viol"] for r in rows) == spark.read.parquet(
         corpus_path
     ).count()
+
+
+def test_duplicate_constraint_names_rejected_before_any_scan(tmp_path):
+    with pytest.raises(SystemExit) as e:
+        cli.main([
+            "validate", "--input", str(tmp_path / "does_not_exist"),
+            "--run-dir", str(tmp_path / "run"),
+            "--constraint", "r=n_chars < 1",
+            "--constraint", "r=n_chars < 2",
+        ])
+    assert e.value.code == 2
