@@ -322,3 +322,57 @@ def test_capped_self_join_cap_zero_is_exact(spark, sizes):
         for b in mem[i + 1 :]
     }
     assert got == exact
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-100, 100),
+            st.one_of(st.none(), st.text("abc", max_size=3)),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(-100, 100), min_size=1, max_size=3, unique=True),
+)
+def test_constraint_violations_agree_with_summary(spark, rows, cuts):
+    """The map-only violations pass and the partial-agg summary are
+    two different plans over the same NULL-hostile predicates — for
+    random frames and random threshold rules, per-rule violation
+    counts must agree, and every failed_constraints list must be a
+    sorted subset of the rule names."""
+    from pytod_spark.validation.constraints import (
+        RowConstraint,
+        row_constraint_summary,
+        row_constraint_violations,
+    )
+
+    df = spark.createDataFrame(rows, "n int, s string")
+    cs = [RowConstraint(f"cut_{i}", f"n < {c}") for i, c in enumerate(cuts)]
+    cs.append(RowConstraint("s_ok", "length(s) < 2"))  # NULL s -> violation
+    names = sorted(c.name for c in cs)
+
+    viol = row_constraint_violations(df, cs, keep_cols=[]).collect()
+    for r in viol:
+        failed = list(r["failed_constraints"])
+        assert failed == sorted(failed) and failed
+        assert set(failed) <= set(names)
+
+    summ = {r["constraint"]: r for r in row_constraint_summary(df, cs).collect()}
+    assert set(summ) == set(names)
+    for c in cs:
+        got = summ[c.name]["n_violations"]
+        exp = sum(1 for r in viol if c.name in r["failed_constraints"])
+        assert got == exp, c.name
+        assert summ[c.name]["n_rows"] == len(rows)
+    # python-side ground truth for the threshold rules
+    for i, cut in enumerate(cuts):
+        exp_py = sum(1 for n, _ in rows if not (n < cut))
+        assert summ[f"cut_{i}"]["n_violations"] == exp_py
+    exp_s = sum(1 for _, s in rows if s is None or not len(s) < 2)
+    assert summ["s_ok"]["n_violations"] == exp_s
