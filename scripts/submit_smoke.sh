@@ -31,9 +31,12 @@ cd "$WORK"   # scratch cwd: no repo checkout on sys.path
 
 "$SUBMIT" "${COMMON[@]}" submit_main.py \
     validate --input "$WORK/corpus" --parent "$WORK/parent" \
-    --run-dir "$WORK/run1"
+    --run-dir "$WORK/run1" \
+    --constraint 'len_bound=content_length <= 100000' \
+    --constraint 'path_ok@0.01=length(path) > 0'
 
 test -d "$WORK/run1/verdicts" || { echo "no verdicts dir"; ls "$WORK/run1"; exit 1; }
+test -d "$WORK/run1/constraint_summary" || { echo "no constraint_summary dir"; ls "$WORK/run1"; exit 1; }
 
 # reference-profile deployment path: profile the snapshot once, then
 # validate a later run against the persisted profile (dist check on,
