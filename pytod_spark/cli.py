@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
                    "<run-dir>/repK and resume is forced off)")
     v.add_argument("--master", default=None)
 
+    rp = sub.add_parser("report", help="condense a completed validate run into one JSON (verdicts + example violations)")
+    rp.add_argument("--run-dir", required=True)
+    rp.add_argument("--examples", type=int, default=3,
+                    help="max example violation rows per (partition, check)")
+    rp.add_argument("--partition-col", default="lang")
+    rp.add_argument("--master", default=None)
+
     pr = sub.add_parser("profile", help="build the persistable drift profile of a snapshot (feeds validate --reference-profile)")
     pr.add_argument("--input", required=True, help="corpus snapshot (repo,path,commit,lang,content)")
     pr.add_argument("--out", required=True, help="output parquet for the (lang, feature, value, __n) profile")
@@ -285,6 +292,15 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(args.out)
         print(json.dumps({"rows_kept": spark.read.parquet(args.out).count()}))
+        return 0
+
+    if args.cmd == "report":
+        from .validation.report import run_report
+
+        print(json.dumps(run_report(
+            spark, args.run_dir,
+            partition_col=args.partition_col, examples=args.examples,
+        )))
         return 0
 
     if args.cmd == "profile":

@@ -9,6 +9,7 @@ from .snapshot import (  # noqa: F401
     snapshot_listing,
 )
 from .features import derive_features  # noqa: F401
+from .report import run_report  # noqa: F401
 from .schema import (  # noqa: F401
     CORPUS_CONTRACT,
     SchemaContractError,

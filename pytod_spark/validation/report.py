@@ -1,0 +1,128 @@
+"""Run report: condense a completed (or resumed) ValidationSuite
+run_dir into one JSON-able dict for humans and pagers — per-partition
+verdicts, which checks failed, and up to N example violation rows per
+(partition, check).
+
+Scale shape: the verdict table is model-sized (one row per
+partition); example rows come off each violations artifact via a
+rank-per-partition filter that Spark rewrites into a WindowGroupLimit
+partial/final pair, so every map task pre-trims to N rows per
+partition before any shuffle — the driver never sees more than
+|partitions| x N x |checks| rows no matter how many billions of
+violations a bad snapshot produced. Tie-break ordering hashes the
+whole row (to_json), so reports are deterministic for a given
+artifact regardless of file/partition layout."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+# violations artifact -> report key (order = report order)
+_VIOLATION_ARTIFACTS = {
+    "uniqueness_violations": "uniqueness",
+    "ri_violations": "ri",
+    "drift_violations": "drift",
+    "constraint_violations": "constraints",
+}
+
+
+def _has_parquet(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _examples_per_partition(df, pcol: str, n: int) -> dict[str, list[dict]]:
+    """Up to ``n`` deterministic example rows per partition value.
+    The rank<=n filter plans as WindowGroupLimit (map-side top-n
+    heap); the hash order key makes the pick layout-independent."""
+    others = [c for c in df.columns if c != pcol]
+    key = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in others])))
+    w = Window.partitionBy(pcol).orderBy(key)
+    rows = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+        .collect()
+    )
+    out: dict[str, list[dict]] = {}
+    for r in rows:
+        d = r.asDict(recursive=True)
+        part = str(d.pop(pcol))
+        out.setdefault(part, []).append(d)
+    return out
+
+
+def run_report(
+    spark: SparkSession,
+    run_dir: str,
+    partition_col: str = "lang",
+    examples: int = 3,
+) -> dict:
+    """Summarize ``run_dir`` (a completed ValidationSuite run).
+
+    Returns {"partitions": {part: {"pass": bool, "checks": {check:
+    bool}, "counts": {...}, "examples": {check: [row, ...]}}},
+    "failed_partitions": [...], "metrics": <latest metrics json>}.
+    Raises FileNotFoundError when the run has no verdicts (stage B
+    never completed)."""
+    vdir = os.path.join(run_dir, "verdicts")
+    if not _has_parquet(vdir):
+        raise FileNotFoundError(
+            f"{vdir}: no verdicts parquet — run the suite first "
+            "(stage B writes verdicts last, so a crashed run has none)"
+        )
+    pcol = partition_col
+    verdicts = [r.asDict() for r in spark.read.parquet(vdir).collect()]
+    pass_cols = {
+        "uniqueness": "uniqueness_pass",
+        "ri": "ri_pass",
+        "drift": "drift_pass",
+        "dist": "dist_pass",
+        "constraints": "constraint_pass",
+    }
+    report: dict = {"partitions": {}, "failed_partitions": []}
+    for v in sorted(verdicts, key=lambda r: str(r[pcol])):
+        part = str(v[pcol])
+        checks = {k: bool(v[c]) for k, c in pass_cols.items() if c in v}
+        entry = {
+            "pass": bool(v["partition_pass"]),
+            "checks": checks,
+            "counts": {
+                k: v[k]
+                for k in (
+                    "n_rows", "n_dup_keys", "n_extra_rows", "n_orphans",
+                    "outlier_rate", "psi_max", "n_dist_drifted",
+                    "n_constraint_viol", "n_constraint_failed",
+                )
+                if k in v
+            },
+            "examples": {},
+        }
+        report["partitions"][part] = entry
+        if not entry["pass"]:
+            report["failed_partitions"].append(part)
+
+    if examples > 0:
+        for artifact, check in _VIOLATION_ARTIFACTS.items():
+            path = os.path.join(run_dir, artifact)
+            if not _has_parquet(path):
+                continue
+            per_part = _examples_per_partition(
+                spark.read.parquet(path), pcol, examples
+            )
+            for part, rows in per_part.items():
+                if part in report["partitions"]:
+                    report["partitions"][part]["examples"][check] = rows
+
+    metas = sorted(glob.glob(os.path.join(run_dir, "metrics_*.json")))
+    if metas:
+        with open(metas[-1]) as fh:
+            report["metrics"] = json.load(fh)
+    return report

@@ -1,0 +1,70 @@
+"""Run-report surface (validation/report.py): verdict condensation,
+bounded deterministic example rows per (partition, check), and the
+CLI `report` subcommand."""
+
+import json
+import os
+
+import pytest
+
+from pytod_spark import cli
+from pytod_spark.datagen import generate_repo_table, repo_commits_dim
+from pytod_spark.validation import RowConstraint, ValidationSuite, run_report
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def run_dir(spark, tmp_path_factory):
+    """One completed suite run with injected dup/orphan/drift bugs
+    plus an always-failing constraint."""
+    corpus = generate_repo_table(spark, N, seed=42, anomaly_every=10)
+    parent = repo_commits_dim(spark, N, seed=42)
+    rd = str(tmp_path_factory.mktemp("report") / "run")
+    suite = ValidationSuite(
+        contamination=0.1,
+        constraints=[RowConstraint("impossible", "content_length < 0")],
+    )
+    suite.run(spark, corpus, rd, parent=parent)
+    return rd
+
+
+def test_report_structure_and_bounds(spark, run_dir):
+    rep = run_report(spark, run_dir, examples=2)
+    assert rep["partitions"] and "metrics" in rep
+    # the impossible constraint fails every partition
+    assert sorted(rep["failed_partitions"]) == sorted(rep["partitions"])
+    for part, entry in rep["partitions"].items():
+        assert entry["checks"]["constraints"] is False
+        assert entry["pass"] is False
+        assert entry["counts"]["n_constraint_viol"] > 0
+        for check, rows in entry["examples"].items():
+            assert 1 <= len(rows) <= 2, (part, check)
+            for r in rows:
+                assert run_dir  # rows are plain dicts, partition col popped
+                assert "lang" not in r
+    # every partition has constraint violations -> examples present
+    assert all(
+        "constraints" in e["examples"] for e in rep["partitions"].values()
+    )
+
+
+def test_report_deterministic_and_examples_off(spark, run_dir):
+    a = run_report(spark, run_dir, examples=3)
+    b = run_report(spark, run_dir, examples=3)
+    assert a["partitions"] == b["partitions"]
+    none = run_report(spark, run_dir, examples=0)
+    assert all(e["examples"] == {} for e in none["partitions"].values())
+
+
+def test_report_missing_run_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no verdicts"):
+        run_report(spark, str(tmp_path / "nope"))
+
+
+def test_cli_report_emits_json(spark, run_dir, capsys):
+    rc = cli.main(["report", "--run-dir", run_dir, "--examples", "1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["failed_partitions"]
+    assert os.path.isdir(run_dir)
