@@ -421,3 +421,28 @@ def test_ecdf_queries_take_the_window_fast_path_when_small(spark):
     p = _plan(QUERIES["ecdf_window_rank"](spark, SF))
     assert "__bucket" not in p
     assert "Window" in p
+
+
+def test_report_examples_use_window_group_limit(spark, tmp_path):
+    """The run report's per-(partition, check) example picker must
+    compile to a WindowGroupLimit partial/final pair — map tasks
+    pre-trim to N rows per partition, so the driver collect is bounded
+    at |partitions| x N however many violation rows exist."""
+    from pytod_spark.validation.report import _examples_per_partition
+
+    df = spark.createDataFrame(
+        [("a", i, f"p{i}") for i in range(50)],
+        "lang string, n int, path string",
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    others = [c for c in df.columns if c != "lang"]
+    key = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in others])))
+    w = Window.partitionBy("lang").orderBy(key)
+    probe = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= 3)
+    p = _plan(probe)
+    assert p.count("WindowGroupLimit") == 2
+    # and the helper itself honors the bound
+    got = _examples_per_partition(df, "lang", 3)
+    assert set(got) == {"a"} and len(got["a"]) == 3
