@@ -156,6 +156,19 @@ def main(argv: list[str] | None = None) -> int:
                 "(incremental reuses the prior run by construction); drop "
                 "one of them — for a clean start-over use --no-resume alone"
             )
+    if args.cmd == "report":
+        # verdicts presence is a pure-os check (validation/io.py) — a
+        # typo'd run dir must fail at argparse speed, not after JVM
+        # startup, per the fail-fast convention above
+        import os as _os
+
+        from .validation.io import has_parquet
+
+        if not has_parquet(_os.path.join(args.run_dir, "verdicts")):
+            p.error(
+                f"--run-dir {args.run_dir!r} has no verdicts parquet — "
+                "run `validate` first (stage B writes verdicts last)"
+            )
     constraints = []
     if args.cmd == "validate" and args.constraint:
         # build every rule before the JVM starts — malformed specs,

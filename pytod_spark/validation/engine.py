@@ -82,6 +82,7 @@ from .constraints import (
     validate_constraints,
 )
 from .features import FEATURE_COLS, derive_features
+from .io import read_string_partitioned
 
 log = logging.getLogger(__name__)
 
@@ -255,11 +256,11 @@ class ValidationSuite:
         partitioned write whose frame was EMPTY (the healthy
         zero-violation case) emits only _SUCCESS — reading it back
         would die on schema inference, so the resume path must treat
-        it as 'no rows', not crash."""
-        for root, _dirs, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        it as 'no rows', not crash. (Shared with the report reader —
+        validation/io.py.)"""
+        from .io import has_parquet
+
+        return has_parquet(path)
 
     def _write_partitioned(
         self, df: DataFrame, run_dir: str, name: str, compact: bool = True,
@@ -857,7 +858,7 @@ class ValidationSuite:
                 # and those must not feed the global threshold or be
                 # rewritten into drift_violations. Partition-pruning
                 # predicate — Spark skips the stale hive dirs entirely.
-                scores = spark.read.parquet(
+                scores = read_string_partitioned(spark, 
                     os.path.join(run_dir, "drift_scores")
                 ).where(F.col(pcol).isin(all_parts))
                 thr = scores.agg(
@@ -885,7 +886,7 @@ class ValidationSuite:
             if self._has_parquet(os.path.join(run_dir, "uniqueness_violations")):
                 uniq = {
                     r[pcol]: r
-                    for r in spark.read.parquet(
+                    for r in read_string_partitioned(spark, 
                         os.path.join(run_dir, "uniqueness_violations")
                     ).where(F.col(pcol).isin(all_parts)).groupBy(pcol).agg(
                         F.count(F.lit(1)).alias("k"),
@@ -898,7 +899,7 @@ class ValidationSuite:
             ):
                 orphans = {
                     r[pcol]: r["count"]
-                    for r in spark.read.parquet(
+                    for r in read_string_partitioned(spark, 
                         os.path.join(run_dir, "ri_violations")
                     ).where(F.col(pcol).isin(all_parts)).groupBy(pcol).count().collect()
                 }
@@ -909,7 +910,7 @@ class ValidationSuite:
             ):
                 cviol = {
                     r[pcol]: r["count"]
-                    for r in spark.read.parquet(
+                    for r in read_string_partitioned(spark, 
                         os.path.join(run_dir, "constraint_violations")
                     ).where(F.col(pcol).isin(all_parts)).groupBy(pcol).count().collect()
                 }
@@ -917,7 +918,7 @@ class ValidationSuite:
                 os.path.join(run_dir, "constraint_summary")
             ):
                 cfail = self._judge_constraint_rates(
-                    spark.read.parquet(
+                    read_string_partitioned(spark, 
                         os.path.join(run_dir, "constraint_summary")
                     )
                     .where(F.col(pcol).isin(all_parts))
@@ -928,7 +929,7 @@ class ValidationSuite:
             if self._has_parquet(os.path.join(run_dir, "dist_drift")):
                 dist = {
                     r[pcol]: r
-                    for r in spark.read.parquet(
+                    for r in read_string_partitioned(spark, 
                         os.path.join(run_dir, "dist_drift")
                     ).where(F.col(pcol).isin(all_parts)).groupBy(pcol).agg(
                         F.max("psi").alias("pm"),

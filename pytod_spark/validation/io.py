@@ -1,0 +1,52 @@
+"""Shared artifact IO for the engine and the report reader.
+
+Stage-A outputs are hive-partitioned by the suite's partition column.
+Two round-trip hazards live here, so every consumer must go through
+these helpers instead of raw ``spark.read.parquet``:
+
+* a partitioned write whose frame was EMPTY (the healthy
+  zero-violation case) emits only _SUCCESS — reading it back dies on
+  schema inference, so presence is checked with ``has_parquet``;
+* Spark's partition-column type inference rewrites numeric-looking
+  partition values on read (a lang dir ``lang=007`` comes back as
+  int 7), which silently breaks every string comparison against the
+  verdict/marker keys the engine wrote. ``read_string_partitioned``
+  disables inference for the read so partition values round-trip as
+  the exact strings the engine persisted.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_INFER_CONF = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+
+def has_parquet(path: str) -> bool:
+    """True when ``path`` holds at least one parquet data file."""
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def read_string_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a hive-partitioned artifact with partition-type inference
+    off, so partition values stay the strings the writer used.
+    Partition discovery happens eagerly inside ``read.parquet``, so
+    toggling the session conf around the call is sufficient; the
+    prior value is always restored."""
+    try:
+        old = spark.conf.get(_INFER_CONF)
+    except Exception:
+        old = None
+    spark.conf.set(_INFER_CONF, "false")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if old is None:
+            spark.conf.unset(_INFER_CONF)
+        else:
+            spark.conf.set(_INFER_CONF, old)

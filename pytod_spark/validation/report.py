@@ -19,8 +19,10 @@ import glob
 import json
 import os
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from .io import has_parquet, read_string_partitioned
 
 # violations artifact -> report key (order = report order)
 _VIOLATION_ARTIFACTS = {
@@ -31,26 +33,29 @@ _VIOLATION_ARTIFACTS = {
 }
 
 
-def _has_parquet(path: str) -> bool:
-    for _root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
-
-
-def _examples_per_partition(df, pcol: str, n: int) -> dict[str, list[dict]]:
-    """Up to ``n`` deterministic example rows per partition value.
-    The rank<=n filter plans as WindowGroupLimit (map-side top-n
-    heap); the hash order key makes the pick layout-independent."""
+def _example_frame(df: DataFrame, pcol: str, n: int, parts: list[str]) -> DataFrame:
+    """Up to ``n`` deterministic example rows per partition value,
+    restricted to ``parts`` (the partitions in the verdicts — stale
+    hive dirs left by dropped partitions are partition-pruned away,
+    not sorted and discarded). The rank<=n filter plans as a
+    WindowGroupLimit partial/final pair (map-side top-n heap; gated in
+    tests/test_plan_shapes.py); the hash order key makes the pick
+    layout-independent."""
     others = [c for c in df.columns if c != pcol]
     key = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in others])))
     w = Window.partitionBy(pcol).orderBy(key)
-    rows = (
-        df.withColumn("__rn", F.row_number().over(w))
+    return (
+        df.where(F.col(pcol).isin(parts))
+        .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n)
         .drop("__rn")
-        .collect()
     )
+
+
+def _examples_per_partition(
+    df: DataFrame, pcol: str, n: int, parts: list[str]
+) -> dict[str, list[dict]]:
+    rows = _example_frame(df, pcol, n, parts).collect()
     out: dict[str, list[dict]] = {}
     for r in rows:
         d = r.asDict(recursive=True)
@@ -73,7 +78,7 @@ def run_report(
     Raises FileNotFoundError when the run has no verdicts (stage B
     never completed)."""
     vdir = os.path.join(run_dir, "verdicts")
-    if not _has_parquet(vdir):
+    if not has_parquet(vdir):
         raise FileNotFoundError(
             f"{vdir}: no verdicts parquet — run the suite first "
             "(stage B writes verdicts last, so a crashed run has none)"
@@ -110,12 +115,16 @@ def run_report(
             report["failed_partitions"].append(part)
 
     if examples > 0:
+        parts = list(report["partitions"])
         for artifact, check in _VIOLATION_ARTIFACTS.items():
             path = os.path.join(run_dir, artifact)
-            if not _has_parquet(path):
+            if not has_parquet(path):
                 continue
+            # inference-safe read: a numeric-looking partition value
+            # ('007') must round-trip as the string the verdicts hold,
+            # or its examples would be silently dropped
             per_part = _examples_per_partition(
-                spark.read.parquet(path), pcol, examples
+                read_string_partitioned(spark, path), pcol, examples, parts
             )
             for part, rows in per_part.items():
                 if part in report["partitions"]:

@@ -428,21 +428,19 @@ def test_report_examples_use_window_group_limit(spark, tmp_path):
     compile to a WindowGroupLimit partial/final pair — map tasks
     pre-trim to N rows per partition, so the driver collect is bounded
     at |partitions| x N however many violation rows exist."""
-    from pytod_spark.validation.report import _examples_per_partition
+    from pytod_spark.validation.report import (
+        _example_frame,
+        _examples_per_partition,
+    )
 
     df = spark.createDataFrame(
         [("a", i, f"p{i}") for i in range(50)],
         "lang string, n int, path string",
     )
-    from pyspark.sql import functions as F
-    from pyspark.sql import Window
-
-    others = [c for c in df.columns if c != "lang"]
-    key = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in others])))
-    w = Window.partitionBy("lang").orderBy(key)
-    probe = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= 3)
-    p = _plan(probe)
+    # gate the PRODUCTION frame the report collects, not a rebuilt copy
+    p = _plan(_example_frame(df, "lang", 3, ["a"]))
     assert p.count("WindowGroupLimit") == 2
-    # and the helper itself honors the bound
-    got = _examples_per_partition(df, "lang", 3)
+    # and the helper itself honors the bound + the partition filter
+    got = _examples_per_partition(df, "lang", 3, ["a"])
     assert set(got) == {"a"} and len(got["a"]) == 3
+    assert _examples_per_partition(df, "lang", 3, ["zz"]) == {}

@@ -41,8 +41,8 @@ def test_report_structure_and_bounds(spark, run_dir):
         for check, rows in entry["examples"].items():
             assert 1 <= len(rows) <= 2, (part, check)
             for r in rows:
-                assert run_dir  # rows are plain dicts, partition col popped
-                assert "lang" not in r
+                # plain dicts (json-serializable), partition col popped
+                assert isinstance(r, dict) and "lang" not in r
     # every partition has constraint violations -> examples present
     assert all(
         "constraints" in e["examples"] for e in rep["partitions"].values()
@@ -68,3 +68,33 @@ def test_cli_report_emits_json(spark, run_dir, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["failed_partitions"]
     assert os.path.isdir(run_dir)
+
+
+def test_cli_report_rejects_bad_run_dir_before_any_scan(tmp_path):
+    with pytest.raises(SystemExit) as e:
+        cli.main(["report", "--run-dir", str(tmp_path / "nope")])
+    assert e.value.code == 2
+
+
+def test_numeric_looking_partition_values_keep_their_examples(spark, tmp_path):
+    """Hive partition type inference rewrites lang=007 to int 7 on a
+    naive read; the report's inference-safe read must keep the
+    examples keyed by the exact string the verdicts hold."""
+    rows = [
+        ("r1", f"p{i}", "c1", lang, f"text {i} " + "x" * (i % 7))
+        for i in range(40)
+        for lang in ("007", "en")
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    rd = str(tmp_path / "run007")
+    suite = ValidationSuite(
+        contamination=0.1,
+        constraints=[RowConstraint("impossible", "content_length < 0")],
+    )
+    suite.run(spark, df, rd)
+    rep = run_report(spark, rd, examples=2)
+    assert set(rep["partitions"]) == {"007", "en"}
+    for part in ("007", "en"):
+        assert rep["partitions"][part]["examples"].get("constraints"), part
