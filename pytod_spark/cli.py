@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
                         "or 'has_tokens@0.01=token_count > 0'; a partition "
                         "fails when its violation rate exceeds MAX_RATE "
                         "(default 0)")
+    v.add_argument("--constraints-file", default=None,
+                   help="JSON file with a list of rules "
+                        '[{"name": ..., "predicate": ..., '
+                        '"max_violation_rate": 0.0}, ...]; merged with '
+                        "--constraint flags (duplicate names rejected)")
     v.add_argument("--repeats", type=int, default=1,
                    help="run the suite N times inside this one JVM "
                    "(scaling/bench methodology: warmup accrues, best rep "
@@ -170,6 +175,48 @@ def main(argv: list[str] | None = None) -> int:
                 "run `validate` first (stage B writes verdicts last)"
             )
     constraints = []
+    if args.cmd == "validate" and args.constraints_file:
+        # file rules parse pre-JVM like the inline flags; a malformed
+        # file fails in milliseconds with the offending entry named
+        from .validation import RowConstraint
+
+        try:
+            with open(args.constraints_file) as fh:
+                specs = json.load(fh)
+        except (OSError, json.JSONDecodeError) as exc:
+            p.error(f"--constraints-file {args.constraints_file!r}: {exc}")
+        if not isinstance(specs, list):
+            p.error(
+                f"--constraints-file {args.constraints_file!r}: expected "
+                "a JSON list of rule objects"
+            )
+        for i, spec in enumerate(specs):
+            if not isinstance(spec, dict) or not {"name", "predicate"} <= set(spec):
+                p.error(
+                    f"--constraints-file entry {i}: expected an object "
+                    'with "name" and "predicate" (optional '
+                    '"max_violation_rate")'
+                )
+            unknown = set(spec) - {"name", "predicate", "max_violation_rate"}
+            if unknown:
+                p.error(
+                    f"--constraints-file entry {i} ({spec.get('name')!r}): "
+                    f"unknown key(s) {sorted(unknown)}"
+                )
+            try:
+                constraints.append(
+                    RowConstraint(
+                        spec["name"], spec["predicate"],
+                        max_violation_rate=float(
+                            spec.get("max_violation_rate", 0.0)
+                        ),
+                    )
+                )
+            except (TypeError, ValueError) as exc:
+                p.error(
+                    f"--constraints-file entry {i} "
+                    f"({spec.get('name')!r}): {exc}"
+                )
     if args.cmd == "validate" and args.constraint:
         # build every rule before the JVM starts — malformed specs,
         # bad names, and bad rates fail in milliseconds (SQL
@@ -195,10 +242,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
             except ValueError as exc:
                 p.error(f"--constraint {spec!r}: {exc}")
+    if constraints:
+        # covers inline flags, file rules, and collisions between them
         names = [c.name for c in constraints]
         dupes = sorted({n for n in names if names.count(n) > 1})
         if dupes:
-            p.error(f"duplicate --constraint name(s): {dupes}")
+            p.error(f"duplicate constraint name(s): {dupes}")
     spark = get_spark("pytod_spark-cli", master=getattr(args, "master", None))
     ensure_shipped(spark)
 

@@ -126,3 +126,48 @@ def test_duplicate_constraint_names_rejected_before_any_scan(tmp_path):
             "--constraint", "r=n_chars < 2",
         ])
     assert e.value.code == 2
+
+
+def test_constraints_file_bad_specs_rejected_before_any_scan(tmp_path):
+    # malformed JSON, non-list, missing keys, unknown keys, dup vs flag:
+    # all die at argparse speed
+    bad = [
+        ("not json at all", None),
+        ('{"name": "x"}', None),  # not a list
+        ('[{"name": "x"}]', None),  # missing predicate
+        ('[{"name": "x", "predicate": "n_chars < 1", "oops": 1}]', None),
+        ('[{"name": "r", "predicate": "n_chars < 1"}]', "r=n_chars < 2"),
+    ]
+    for body, flag in bad:
+        f = tmp_path / "rules.json"
+        f.write_text(body)
+        argv = [
+            "validate", "--input", str(tmp_path / "does_not_exist"),
+            "--run-dir", str(tmp_path / "run"),
+            "--constraints-file", str(f),
+        ]
+        if flag:
+            argv += ["--constraint", flag]
+        with pytest.raises(SystemExit) as e:
+            cli.main(argv)
+        assert e.value.code == 2, body
+
+
+def test_constraints_file_merges_with_flags(spark, corpus_path, tmp_path, capsys):
+    f = tmp_path / "rules.json"
+    f.write_text(json.dumps([
+        {"name": "impossible", "predicate": "content_length < 0"},
+        {"name": "soft", "predicate": "token_count < 0",
+         "max_violation_rate": 0.9999},
+    ]))
+    rc, m = _run(capsys, [
+        "validate", "--input", corpus_path,
+        "--run-dir", str(tmp_path / "merged"),
+        "--constraints-file", str(f),
+        "--constraint", "flag_rule=length(path) > 0",
+    ])
+    assert rc == 0
+    v = spark.read.parquet(str(tmp_path / "merged" / "verdicts")).collect()
+    # impossible fails everywhere; soft (rate 1.0 > 0.9999) fails too;
+    # flag_rule passes -> exactly two failed rules per partition
+    assert v and all(r["n_constraint_failed"] == 2 for r in v)
