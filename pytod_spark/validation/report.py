@@ -130,6 +130,22 @@ def run_report(
                 if part in report["partitions"]:
                     report["partitions"][part]["examples"][check] = rows
 
+        # dist-drift "examples" are the drifted (feature) report rows
+        # themselves — which feature moved, by how much. The artifact
+        # is already model-sized (|partitions| x |features|), so the
+        # same bounded extraction applies after the drifted filter.
+        ddir = os.path.join(run_dir, "dist_drift")
+        if has_parquet(ddir):
+            dd = read_string_partitioned(spark, ddir)
+            drifted = dd.where(
+                F.greatest(F.col("psi_drifted"), F.col("ks_drifted")) > 0
+            )
+            for part, rows in _examples_per_partition(
+                drifted, pcol, examples, parts
+            ).items():
+                if part in report["partitions"]:
+                    report["partitions"][part]["examples"]["dist"] = rows
+
     metas = sorted(glob.glob(os.path.join(run_dir, "metrics_*.json")))
     if metas:
         with open(metas[-1]) as fh:

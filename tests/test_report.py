@@ -98,3 +98,34 @@ def test_numeric_looking_partition_values_keep_their_examples(spark, tmp_path):
     assert set(rep["partitions"]) == {"007", "en"}
     for part in ("007", "en"):
         assert rep["partitions"][part]["examples"].get("constraints"), part
+
+
+def test_report_dist_examples_name_the_drifted_features(spark, tmp_path):
+    """With a reference snapshot attached, the report's dist examples
+    are the drifted (feature, psi, ks) report rows for the partition
+    — which feature moved and by how much."""
+    from pyspark.sql import functions as F
+
+    clean = generate_repo_table(spark, N, seed=42)
+    shifted = clean.withColumn(
+        "content",
+        F.when(
+            F.col("lang") == "python",
+            F.concat(F.col("content"), F.lit("\n"), F.col("content")),
+        ).otherwise(F.col("content")),
+    )
+    rd = str(tmp_path / "run_dist")
+    ValidationSuite(contamination=0.1).run(
+        spark, shifted, rd, reference=clean
+    )
+    rep = run_report(spark, rd, examples=3)
+    py = rep["partitions"]["python"]
+    assert py["checks"]["dist"] is False
+    rows = py["examples"]["dist"]
+    assert 1 <= len(rows) <= 3
+    assert all("feature" in r and "psi" in r and "ks_d" in r for r in rows)
+    # a clean lang has no drifted rows -> no dist examples
+    clean_langs = [p for p, e in rep["partitions"].items() if e["checks"]["dist"]]
+    assert clean_langs and all(
+        "dist" not in rep["partitions"][p]["examples"] for p in clean_langs
+    )

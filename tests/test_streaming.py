@@ -239,3 +239,49 @@ def test_cusum_multi_chunk_batch_is_ts_ordered(spark, ref_df, tmp_path):
     expected = float(_cusum_scan(labels, 0.3, 0.0)[-1])
     assert res["n_seen"] == n
     assert abs(res["cusum"] - expected) < 1e-9
+
+
+def test_streaming_constraint_split(spark, tmp_path):
+    """Ingest-time constraint gate: rows route to clean/violations
+    sinks under an availableNow trigger with the batch operator's
+    NULL-hostile semantics, and the union of sinks is the input."""
+    from pytod_spark.streaming import streaming_constraint_split
+    from pytod_spark.validation.constraints import RowConstraint
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(1, "short", "ok"), (2, "x" * 50, "ok"), (3, "mid", None), (4, "y" * 50, None)],
+        "doc_id long, text string, src string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    clean, viol = streaming_constraint_split(
+        stream,
+        [
+            RowConstraint("len_bound", "length(text) < 20"),
+            RowConstraint("src_present", "src IS NOT NULL"),
+        ],
+    )
+    out_c, out_v = str(tmp_path / "clean"), str(tmp_path / "viol")
+    for frame, out, name in ((clean, out_c, "c"), (viol, out_v, "v")):
+        q = (
+            frame.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got_c = spark.read.parquet(out_c)
+    got_v = spark.read.parquet(out_v)
+    assert {r["doc_id"] for r in got_c.collect()} == {1}
+    failed = {r["doc_id"]: list(r["failed_constraints"]) for r in got_v.collect()}
+    assert failed == {
+        2: ["len_bound"],
+        3: ["src_present"],
+        4: ["len_bound", "src_present"],
+    }
+    # clean side drops the tag column; violations keep it
+    assert "failed_constraints" not in got_c.columns
