@@ -203,6 +203,13 @@ def main(argv: list[str] | None = None) -> int:
                     f"--constraints-file entry {i} ({spec.get('name')!r}): "
                     f"unknown key(s) {sorted(unknown)}"
                 )
+            if not isinstance(spec["name"], str) or not isinstance(
+                spec["predicate"], str
+            ):
+                p.error(
+                    f"--constraints-file entry {i}: \"name\" and "
+                    '"predicate" must be strings'
+                )
             try:
                 constraints.append(
                     RowConstraint(

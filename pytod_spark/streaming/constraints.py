@@ -5,10 +5,22 @@ declarative SQL rules the batch suite runs.
 
 Pure stateless projection/filter — every predicate is a Catalyst
 expression evaluated map-side inside the micro-batch, so the operator
-adds no streaming state, no watermark requirement, and no shuffle;
-it composes freely with the watermarked dedup/drift stages. Batch and
-stream agree on semantics by construction (same NULL-hostile
-``eqNullSafe(TRUE)`` evaluation, same rule names)."""
+adds no streaming state, no watermark requirement, and no shuffle; it
+composes freely with the watermarked dedup/drift stages. Batch and
+stream agree on semantics by construction: the tag expression is the
+ONE shared ``failed_constraints_col`` definition, and the same
+zero-job analysis gate (``validate_constraints``) rejects typo'd
+columns and non-boolean predicates at build time — streaming-frame
+analysis is just as eager as batch.
+
+Sink wiring note: ``clean`` and ``violations`` are two DataFrames; if
+each is started as its OWN writeStream query, each query scans the
+ingest source independently per trigger (Structured Streaming never
+shares scans across queries) and the two checkpoints can sit at
+different offsets. For single-pass fan-out, drive ONE query over the
+tagged frame with ``foreachBatch`` and split + write both sinks from
+the persisted micro-batch inside it.
+"""
 
 from __future__ import annotations
 
@@ -17,7 +29,12 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..validation.constraints import RowConstraint, _check_constraints
+from ..validation.constraints import (
+    RowConstraint,
+    _guard_reserved_tag,
+    failed_constraints_col,
+    validate_constraints,
+)
 
 
 def streaming_constraint_split(
@@ -28,15 +45,13 @@ def streaming_constraint_split(
     breaking >= 1 rule tagged with the sorted ``failed_constraints``
     names — exactly the batch operator's row contract, usable as two
     independent sinks (clean -> the corpus table, violations -> a
-    quarantine table). Both sides are one map-only pass over the same
-    micro-batch; Spark shares the scan per sink trigger."""
-    cs = _check_constraints(constraints)
-    failed = F.array_sort(
-        F.array_compact(
-            F.array(*[F.when(~c.passes(), F.lit(c.name)) for c in cs])
-        )
+    quarantine table; see the module docstring for single-pass
+    fan-out)."""
+    _guard_reserved_tag(stream)
+    validate_constraints(stream, constraints)
+    tagged = stream.withColumn(
+        "failed_constraints", failed_constraints_col(list(constraints))
     )
-    tagged = stream.withColumn("failed_constraints", failed)
     clean = tagged.where(F.size("failed_constraints") == 0).drop(
         "failed_constraints"
     )

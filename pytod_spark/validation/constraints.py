@@ -104,6 +104,30 @@ def validate_constraints(df: DataFrame, constraints: Iterable[RowConstraint]) ->
             )
 
 
+def failed_constraints_col(constraints: Iterable[RowConstraint]):
+    """Catalyst column: sorted array of the rule names the row broke
+    (empty array = clean row). The single shared definition of the
+    tagging semantics — the batch violations pass and the streaming
+    ingest gate both use it, so they cannot silently diverge."""
+    return F.array_sort(
+        F.array_compact(
+            F.array(
+                *[F.when(~c.passes(), F.lit(c.name)) for c in constraints]
+            )
+        )
+    )
+
+
+def _guard_reserved_tag(df: DataFrame) -> None:
+    if "failed_constraints" in df.columns:
+        raise ValueError(
+            "input frame already has a failed_constraints column — the "
+            "constraint tagger would clobber it; drop or rename it "
+            "first (e.g. when re-checking a previously quarantined "
+            "table against new rules)"
+        )
+
+
 def row_constraint_violations(
     df: DataFrame,
     constraints: Iterable[RowConstraint],
@@ -117,14 +141,10 @@ def row_constraint_violations(
     output size is bounded by the violating-row count, not
     rows x constraints)."""
     cs = _check_constraints(constraints)
+    _guard_reserved_tag(df)
     out_cols = list(keep_cols) if keep_cols is not None else list(df.columns)
-    failed = F.array_compact(
-        F.array(
-            *[F.when(~c.passes(), F.lit(c.name)) for c in cs]
-        )
-    )
     return (
-        df.withColumn("failed_constraints", F.array_sort(failed))
+        df.withColumn("failed_constraints", failed_constraints_col(cs))
         .where(F.size("failed_constraints") > 0)
         .select(*out_cols, "failed_constraints")
     )

@@ -137,6 +137,7 @@ def test_constraints_file_bad_specs_rejected_before_any_scan(tmp_path):
         ('[{"name": "x"}]', None),  # missing predicate
         ('[{"name": "x", "predicate": "n_chars < 1", "oops": 1}]', None),
         ('[{"name": "r", "predicate": "n_chars < 1"}]', "r=n_chars < 2"),
+        ('[{"name": "x", "predicate": 5}]', None),  # non-string predicate
     ]
     for body, flag in bad:
         f = tmp_path / "rules.json"

@@ -285,3 +285,14 @@ def test_streaming_constraint_split(spark, tmp_path):
     }
     # clean side drops the tag column; violations keep it
     assert "failed_constraints" not in got_c.columns
+
+    # build-time gates: non-boolean predicate and reserved tag column
+    # are rejected before any query starts (same gates as batch)
+    with pytest.raises(ValueError, match="expected boolean"):
+        streaming_constraint_split(
+            stream, [RowConstraint("notbool", "length(text)")]
+        )
+    with pytest.raises(ValueError, match="failed_constraints column"):
+        streaming_constraint_split(
+            viol, [RowConstraint("ok", "doc_id > 0")]
+        )
