@@ -24,12 +24,13 @@ Scale/skew posture:
   absorbed where keys are actually grouped — hash-assigned blocks in
   the kNN tile plan, partial aggregation + AQE skew join in the SQL
   checks (salted/spread execution per north_rule);
-* the four checks are independent given the cached feature frame and
-  run as concurrent driver jobs (standard multi-job scheduler
-  pattern): plan/commit overheads overlap, the executor pool stays
-  saturated, and each check computes its own per-partition summary
-  from the in-memory frame it is about to write — stage B never
-  re-reads what stage A just held in memory;
+* the checks (stats, uniqueness, RI, row constraints, drift,
+  dist-drift, fingerprint) are independent given the cached feature
+  frame and run as concurrent driver jobs (standard multi-job
+  scheduler pattern): plan/commit overheads overlap, the executor
+  pool stays saturated, and each check computes its own per-partition
+  summary from the in-memory frame it is about to write — stage B
+  never re-reads what stage A just held in memory;
 * stage-A outputs are written with dynamic partition overwrite
   (partitionBy(partition_col) + mode=overwrite), so re-running a
   partition after a crash replaces, never duplicates — this is what
@@ -434,7 +435,8 @@ class ValidationSuite:
             if under_covered:
                 log.warning(
                     "resume: %d partition marker(s) do not cover the "
-                    "requested check set %s — recomputing: %s",
+                    "requested check set %s (or were written under a "
+                    "different constraint rule set) — recomputing: %s",
                     len(under_covered), sorted(required), under_covered,
                 )
         pending = sorted(set(all_parts) - done)
