@@ -47,10 +47,14 @@ def streaming_constraint_split(
     independent sinks (clean -> the corpus table, violations -> a
     quarantine table; see the module docstring for single-pass
     fan-out)."""
+    # materialize ONCE before anything iterates: a generator argument
+    # would be exhausted by the validation pass and silently disable
+    # every rule afterwards
+    cs = list(constraints)
     _guard_reserved_tag(stream)
-    validate_constraints(stream, constraints)
+    validate_constraints(stream, cs)
     tagged = stream.withColumn(
-        "failed_constraints", failed_constraints_col(list(constraints))
+        "failed_constraints", failed_constraints_col(cs)
     )
     clean = tagged.where(F.size("failed_constraints") == 0).drop(
         "failed_constraints"

@@ -518,8 +518,12 @@ class ValidationSuite:
                     viol, run_dir, "constraint_violations",
                     n_values=len(pending),
                 )
-                for r in viol.groupBy(pcol).count().collect():
-                    sums["constraint_viol"][r[pcol]] = r["count"]
+                if fresh_full:
+                    # summary collects feed stage B's in-memory fast
+                    # path only; a resumed run rebuilds from parquet
+                    # (same gate as _job_drift)
+                    for r in viol.groupBy(pcol).count().collect():
+                        sums["constraint_viol"][r[pcol]] = r["count"]
                 viol.unpersist()
                 # the persisted summary carries counts + rates only —
                 # `passed` is a function of the CURRENT budgets and is
@@ -533,12 +537,13 @@ class ValidationSuite:
                     summ, run_dir, "constraint_summary",
                     n_values=len(pending),
                 )
-                sums["constraint_failed"].update(
-                    self._judge_constraint_rates(
-                        summ.select(pcol, "constraint", "violation_rate")
-                        .collect()
+                if fresh_full:
+                    sums["constraint_failed"].update(
+                        self._judge_constraint_rates(
+                            summ.select(pcol, "constraint", "violation_rate")
+                            .collect()
+                        )
                     )
-                )
                 summ.unpersist()
 
             def _job_drift():

@@ -24,12 +24,16 @@ from pyspark.sql import functions as F
 
 from .io import has_parquet, read_string_partitioned
 
-# violations artifact -> report key (order = report order)
+# violations artifact -> (report key, verdict count column that proves
+# the CURRENT verdict pass found something). The count gate keeps a
+# stale artifact from a prior configuration (e.g. a resume that
+# dropped --parent or the constraint rules) from attaching example
+# rows that contradict the verdicts beside them.
 _VIOLATION_ARTIFACTS = {
-    "uniqueness_violations": "uniqueness",
-    "ri_violations": "ri",
-    "drift_violations": "drift",
-    "constraint_violations": "constraints",
+    "uniqueness_violations": ("uniqueness", "n_dup_keys"),
+    "ri_violations": ("ri", "n_orphans"),
+    "drift_violations": ("drift", "outlier_rate"),
+    "constraint_violations": ("constraints", "n_constraint_viol"),
 }
 
 
@@ -84,7 +88,12 @@ def run_report(
             "(stage B writes verdicts last, so a crashed run has none)"
         )
     pcol = partition_col
-    verdicts = [r.asDict() for r in spark.read.parquet(vdir).collect()]
+    # the engine writes verdicts driver-side with pyarrow precisely
+    # because a Spark job's task-launch latency dwarfs these few rows;
+    # read them back the same way (no job)
+    import pyarrow.parquet as pq
+
+    verdicts = pq.read_table(vdir).to_pylist()
     pass_cols = {
         "uniqueness": "uniqueness_pass",
         "ri": "ri_pass",
@@ -115,10 +124,19 @@ def run_report(
             report["failed_partitions"].append(part)
 
     if examples > 0:
-        parts = list(report["partitions"])
-        for artifact, check in _VIOLATION_ARTIFACTS.items():
+        for artifact, (check, count_col) in _VIOLATION_ARTIFACTS.items():
             path = os.path.join(run_dir, artifact)
             if not has_parquet(path):
+                continue
+            # only partitions whose CURRENT verdict counts say the
+            # check found something — stale artifact rows from a
+            # dropped configuration never surface as examples
+            parts = [
+                p
+                for p, e in report["partitions"].items()
+                if (e["counts"].get(count_col) or 0) > 0
+            ]
+            if not parts:
                 continue
             # inference-safe read: a numeric-looking partition value
             # ('007') must round-trip as the string the verdicts hold,
@@ -133,15 +151,21 @@ def run_report(
         # dist-drift "examples" are the drifted (feature) report rows
         # themselves — which feature moved, by how much. The artifact
         # is already model-sized (|partitions| x |features|), so the
-        # same bounded extraction applies after the drifted filter.
+        # same bounded extraction applies after the drifted filter;
+        # the n_dist_drifted gate mirrors the loop above.
         ddir = os.path.join(run_dir, "dist_drift")
-        if has_parquet(ddir):
+        dist_parts = [
+            p
+            for p, e in report["partitions"].items()
+            if (e["counts"].get("n_dist_drifted") or 0) > 0
+        ]
+        if dist_parts and has_parquet(ddir):
             dd = read_string_partitioned(spark, ddir)
             drifted = dd.where(
                 F.greatest(F.col("psi_drifted"), F.col("ks_drifted")) > 0
             )
             for part, rows in _examples_per_partition(
-                drifted, pcol, examples, parts
+                drifted, pcol, examples, dist_parts
             ).items():
                 if part in report["partitions"]:
                     report["partitions"][part]["examples"]["dist"] = rows

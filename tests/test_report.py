@@ -129,3 +129,29 @@ def test_report_dist_examples_name_the_drifted_features(spark, tmp_path):
     assert clean_langs and all(
         "dist" not in rep["partitions"][p]["examples"] for p in clean_langs
     )
+
+
+def test_report_skips_stale_artifacts_from_dropped_config(spark, tmp_path):
+    """Resume without the constraint rules leaves the old
+    constraint_violations parquet on disk while the fresh verdicts say
+    constraint_pass=True with zero counts — the report must not attach
+    the abandoned rule set's rows as examples beside them."""
+    corpus = generate_repo_table(spark, N, seed=42)
+    rd = str(tmp_path / "run_stale")
+    with_rules = ValidationSuite(
+        contamination=0.1,
+        constraints=[RowConstraint("impossible", "content_length < 0")],
+    )
+    with_rules.run(spark, corpus, rd)
+    assert run_report(spark, rd, examples=2)["failed_partitions"]
+
+    # resume with NO constraints: markers cover, nothing recomputes,
+    # verdicts rewritten without the constraint check
+    no_rules = ValidationSuite(contamination=0.1)
+    m = no_rules.run(spark, corpus, rd, resume=True)
+    assert m["partitions_resumed_skip"] == m["partitions_total"]
+    rep = run_report(spark, rd, examples=2)
+    for part, entry in rep["partitions"].items():
+        assert entry["checks"]["constraints"] is True, part
+        assert entry["counts"]["n_constraint_viol"] == 0
+        assert "constraints" not in entry["examples"], part
