@@ -38,6 +38,15 @@ cd "$WORK"   # scratch cwd: no repo checkout on sys.path
 test -d "$WORK/run1/verdicts" || { echo "no verdicts dir"; ls "$WORK/run1"; exit 1; }
 test -d "$WORK/run1/constraint_summary" || { echo "no constraint_summary dir"; ls "$WORK/run1"; exit 1; }
 
+"$SUBMIT" "${COMMON[@]}" submit_main.py \
+    report --run-dir "$WORK/run1" --examples 2 \
+    | tail -1 | python3 -c "
+import json, sys
+rep = json.loads(sys.stdin.read())
+assert rep['partitions'], 'empty report'
+print('report partitions:', len(rep['partitions']))
+"
+
 # reference-profile deployment path: profile the snapshot once, then
 # validate a later run against the persisted profile (dist check on,
 # reference corpus never rescanned)
