@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
                         "or 'has_tokens@0.01=token_count > 0'; a partition "
                         "fails when its violation rate exceeds MAX_RATE "
                         "(default 0)")
+    v.add_argument("--strict", action="store_true",
+                   help="exit 3 when any partition fails its verdict "
+                        "(CI gate; metrics JSON still prints)")
     v.add_argument("--constraints-file", default=None,
                    help="JSON file with a list of rules "
                         '[{"name": ..., "predicate": ..., '
@@ -431,6 +434,11 @@ def main(argv: list[str] | None = None) -> int:
             spark, df, args.run_dir, resume=not args.no_resume, **common
         )
     print(json.dumps(metrics))
+    if args.strict and metrics.get("failed_partitions"):
+        # CI contract: metrics still print (one JSON line) but the
+        # process exits non-zero, so a pipeline gate needs no JSON
+        # parsing to block on a failed validation
+        return 3
     return 0
 
 
