@@ -274,3 +274,44 @@ def test_budget_only_retune_reverdicts_without_recompute(spark, corpus, tmp_path
     assert m2["partitions_resumed_skip"] == 0
     v2 = spark.read.parquet(os.path.join(run_dir, "verdicts"))
     assert all(r["constraint_pass"] for r in v2.collect())
+
+
+def test_incremental_revalidation_recomputes_constraints_for_changed(
+    spark, corpus, tmp_path
+):
+    """Constraints ride the incremental machinery: a changed partition
+    recomputes its constraint artifacts over the NEW content; the
+    verdict for an unchanged partition comes off its persisted
+    summary."""
+    run_dir = str(tmp_path / "run_inc_cons")
+    # rule violated only by rows carrying the injected marker text
+    cs = [RowConstraint("no_marker", "NOT path LIKE '%grown%'")]
+    suite = ValidationSuite(contamination=0.1, constraints=cs)
+    m0 = suite.run(spark, corpus, run_dir)
+    n_langs = m0["partitions_total"]
+    v0 = {
+        r["lang"]: r
+        for r in spark.read.parquet(os.path.join(run_dir, "verdicts")).collect()
+    }
+    assert all(v["constraint_pass"] for v in v0.values())
+
+    # rewrite the python partition's paths so every row violates
+    changed = corpus.withColumn(
+        "path",
+        F.when(
+            F.col("lang") == "python", F.concat(F.col("path"), F.lit(".grown"))
+        ).otherwise(F.col("path")),
+    )
+    m1 = suite.run_incremental(spark, changed, run_dir)
+    assert m1["incremental_stale"] == ["python"]
+    assert m1["incremental_skipped"] == n_langs - 1
+    v1 = {
+        r["lang"]: r
+        for r in spark.read.parquet(os.path.join(run_dir, "verdicts")).collect()
+    }
+    n_python = corpus.where("lang = 'python'").count()
+    assert not v1["python"]["constraint_pass"]
+    assert v1["python"]["n_constraint_viol"] == n_python
+    for lang, v in v1.items():
+        if lang != "python":
+            assert v["constraint_pass"] and v["n_constraint_viol"] == 0

@@ -376,3 +376,69 @@ def test_constraint_violations_agree_with_summary(spark, rows, cuts):
         assert summ[f"cut_{i}"]["n_violations"] == exp_py
     exp_s = sum(1 for _, s in rows if s is None or not len(s) < 2)
     assert summ["s_ok"]["n_violations"] == exp_s
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    cut=st.integers(-10, 700),
+    frac=st.floats(0.0, 1.0),
+    null_marker=st.sampled_from(["src0", "src1", "src7", "none"]),
+)
+def test_constraint_semantics_agree_with_duckdb(spark, cut, frac, null_marker):
+    """Cross-engine property: for random thresholds (and randomly
+    NULLed-out columns), the Spark NULL-hostile constraint summary
+    equals a DuckDB mirror computed as NOT coalesce(pred, false) —
+    the exact contract the catalogue oracle relies on."""
+    import duckdb
+
+    from pytod_spark.validation.constraints import (
+        RowConstraint,
+        row_constraint_summary,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    d = spark.read.parquet(path)
+    # plant NULLs in `source` for one marker value so NULL-hostility
+    # is actually exercised, not just the happy path
+    import pyspark.sql.functions as F
+
+    d = d.withColumn(
+        "source",
+        F.when(F.col("source") == null_marker, F.lit(None)).otherwise(
+            F.col("source")
+        ),
+    )
+    preds = [
+        ("len", f"n_chars <= {cut}"),
+        ("src", "source LIKE 'src%'"),
+    ]
+    cs = [
+        RowConstraint(n, p, max_violation_rate=float(round(frac, 3)) if frac < 1 else 0.999)
+        for n, p in preds
+    ]
+    got = {
+        (r["lang"], r["constraint"]): (r["n_rows"], r["n_violations"])
+        for r in row_constraint_summary(d, cs, ["lang"]).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT doc_id, text, "
+        f"CASE WHEN source = '{null_marker}' THEN NULL ELSE source END AS source, "
+        f"lang, n_chars FROM '{path}'"
+    )
+    rows = con.execute(
+        "SELECT lang, count(*), "
+        f"CAST(sum(CASE WHEN NOT coalesce(n_chars <= {cut}, false) THEN 1 ELSE 0 END) AS BIGINT), "
+        "CAST(sum(CASE WHEN NOT coalesce(source LIKE 'src%', false) THEN 1 ELSE 0 END) AS BIGINT) "
+        "FROM documents GROUP BY lang"
+    ).fetchall()
+    want = {}
+    for lang, n, v_len, v_src in rows:
+        want[(lang, "len")] = (n, v_len)
+        want[(lang, "src")] = (n, v_src)
+    assert got == want
