@@ -37,7 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--parent-out", default=None)
 
     v = sub.add_parser("validate", help="run the validation suite")
-    v.add_argument("--input", required=True, help="parquet dir or table:/iceberg:<name> of (repo,path,commit,lang,content)")
+    v.add_argument("--input", required=True, help="parquet dir, table:/iceberg:<name>, or jsonl:/json:/csv:/orc:<path> of (repo,path,commit,lang,content)")
     v.add_argument("--parent", default=None, help="parquet dir of the (repo,commit) dimension")
     v.add_argument("--run-dir", required=True)
     v.add_argument("--detector", default="hbos", choices=["hbos", "knn", "lof", "ecod", "copod", "pca", "abod"])
@@ -87,13 +87,13 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--master", default=None)
 
     d = sub.add_parser("dedup", help="exact + MinHash near-dup clusters over a documents table")
-    d.add_argument("--input", required=True, help="parquet dir or table:/iceberg:<name> with (doc_id, text)")
+    d.add_argument("--input", required=True, help="parquet dir, table:/iceberg:<name>, or jsonl:/json:/csv:/orc:<path> with (doc_id, text)")
     d.add_argument("--out", required=True, help="output parquet dir for (doc_id, cluster_id)")
     d.add_argument("--threshold", type=float, default=0.5, help="Jaccard threshold")
     d.add_argument("--master", default=None)
 
     k = sub.add_parser("drift", help="PSI + KS drift between two table snapshots")
-    k.add_argument("--ref", required=True, help="reference snapshot (parquet dir or table:/iceberg:<name>)")
+    k.add_argument("--ref", required=True, help="reference snapshot (parquet dir, table:/iceberg:<name>, or jsonl:/json:/csv:/orc:<path>)")
     k.add_argument("--cur", required=True, help="current snapshot")
     k.add_argument("--value-col", default="value")
     k.add_argument("--group-col", default="lang")
@@ -114,7 +114,7 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--master", default=None)
 
     c = sub.add_parser("chunk", help="split documents into overlapping fixed-token chunks")
-    c.add_argument("--input", required=True, help="parquet dir or table:<name> with (doc_id, text)")
+    c.add_argument("--input", required=True, help="parquet dir, table:<name>, or jsonl:/csv:/orc:<path> with (doc_id, text)")
     c.add_argument("--out", required=True)
     c.add_argument("--chunk-tokens", type=int, default=512)
     c.add_argument("--overlap", type=int, default=64)

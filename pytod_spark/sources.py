@@ -28,22 +28,60 @@ from pyspark.sql import DataFrame, SparkSession
 _IDENTIFIER_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*\Z")
 
 
-def load_table(spark: SparkSession, ref: str) -> DataFrame:
+def load_table(spark: SparkSession, ref: str, schema=None) -> DataFrame:
     """Resolve `ref` to a DataFrame.
 
     * ``table:<name>`` / ``iceberg:<name>`` — catalog table via
       ``spark.read.table`` (Iceberg, Hive, or a temp view; partition
       pruning and snapshot options come from the catalog impl);
+    * ``jsonl:<path>`` / ``json:<path>`` — line-delimited JSON (the
+      standard LLM-corpus interchange format; Spark's json reader is
+      jsonl-native), ``csv:<path>`` (with header), ``orc:<path>``;
     * a path containing ``/``, ending in ``.parquet``, or a bare name
       that is not a valid SQL identifier chain (``corpus-v2``) —
       parquet;
     * anything else — catalog table first (a registered view or table
       always wins over a same-named cwd entry), parquet fallback only
       when the table is genuinely absent.
+
+    ``schema`` (DDL string or StructType) applies to the json/csv
+    readers and is the SCALE path: without it Spark schema-infers with
+    an extra full pass over the data — fine for ad-hoc refs, wrong at
+    corpus scale. Parquet/ORC/tables carry their own schema; passing
+    one there raises rather than silently ignoring it.
     """
     for prefix in ("iceberg:", "table:"):
         if ref.startswith(prefix):
+            if schema is not None:
+                raise ValueError(
+                    f"{prefix} refs carry their own schema; drop the "
+                    "schema argument"
+                )
             return spark.read.table(ref[len(prefix):])
+    for prefix, fmt in (("jsonl:", "json"), ("json:", "json"),
+                        ("csv:", "csv"), ("orc:", "orc")):
+        if ref.startswith(prefix):
+            path = _absolutize_local(spark, ref[len(prefix):])
+            if fmt == "orc":
+                if schema is not None:
+                    raise ValueError(
+                        "orc: refs carry their own schema; drop the "
+                        "schema argument"
+                    )
+                return spark.read.orc(path)
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            if fmt == "csv":
+                reader = reader.option("header", "true")
+                if schema is None:
+                    reader = reader.option("inferSchema", "true")
+            return reader.format(fmt).load(path)
+    if schema is not None:
+        raise ValueError(
+            "schema only applies to json:/jsonl:/csv: refs; parquet "
+            "and catalog tables carry their own"
+        )
     if "/" in ref or ref.endswith(".parquet") or not _IDENTIFIER_RE.match(ref):
         return spark.read.parquet(_absolutize_local(spark, ref))
     try:

@@ -437,3 +437,36 @@ def test_get_spark_gateway_invalid_conf_value_surfaces(spark, monkeypatch):
             app_name="pytod_spark-tests",
             extra_conf={"spark.sql.shuffle.partitions": "eight"},
         )
+
+
+def test_sources_format_prefixes(spark, tmp_path):
+    """jsonl:/json:/csv:/orc: refs load with and without an explicit
+    schema; schema on a self-describing format raises."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from pytod_spark.sources import load_table
+
+    rows = [{"doc_id": 1, "text": "hello world"}, {"doc_id": 2, "text": "x"}]
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text("\n".join(_json.dumps(r) for r in rows))
+    got = load_table(spark, f"jsonl:{jl}")
+    assert got.count() == 2 and set(got.columns) == {"doc_id", "text"}
+    # explicit schema: no inference pass, exact types
+    got2 = load_table(spark, f"json:{jl}", schema="doc_id long, text string")
+    assert dict(got2.dtypes) == {"doc_id": "bigint", "text": "string"}
+
+    cv = tmp_path / "docs.csv"
+    cv.write_text("doc_id,text\n1,hello\n2,bye\n")
+    assert load_table(spark, f"csv:{cv}").count() == 2
+    got3 = load_table(spark, f"csv:{cv}", schema="doc_id long, text string")
+    assert dict(got3.dtypes)["doc_id"] == "bigint"
+
+    oc = str(tmp_path / "docs.orc")
+    spark.createDataFrame(rows).write.orc(oc)
+    assert load_table(spark, f"orc:{oc}").count() == 2
+
+    for bad in (f"orc:{oc}", str(tmp_path / "nope.parquet"), "table:src_view"):
+        with _pytest.raises(ValueError, match="schema"):
+            load_table(spark, bad, schema="doc_id long")
