@@ -119,6 +119,41 @@ def _absolutize_local(spark: SparkSession, ref: str) -> str:
     return ref
 
 
+def load_stream(spark: SparkSession, ref: str, schema=None) -> DataFrame:
+    """Streaming mirror of :func:`load_table` — resolve ``ref`` to a
+    ``readStream`` DataFrame for the ingest-time operators
+    (streaming/). ``table:``/``iceberg:`` refs stream from the
+    catalog (``readStream.table``; schema comes from the catalog and
+    must not be passed). File refs (``jsonl:``/``json:``/``csv:``/
+    ``orc:`` prefixes, else parquet) REQUIRE ``schema`` — Structured
+    Streaming file sources never infer, by design: inference would
+    re-run per restart and a schema drift would silently change the
+    query instead of failing it."""
+    for prefix in ("iceberg:", "table:"):
+        if ref.startswith(prefix):
+            if schema is not None:
+                raise ValueError(
+                    f"{prefix} refs carry their own schema; drop the "
+                    "schema argument"
+                )
+            return spark.readStream.table(ref[len(prefix):])
+    if schema is None:
+        raise ValueError(
+            "streaming file sources require an explicit schema "
+            "(inference would re-run per restart and mask drift)"
+        )
+    reader = spark.readStream.schema(schema)
+    for prefix, fmt in (("jsonl:", "json"), ("json:", "json"),
+                        ("csv:", "csv"), ("orc:", "orc")):
+        if ref.startswith(prefix):
+            if fmt == "csv":
+                reader = reader.option("header", "true")
+            return reader.format(fmt).load(
+                _absolutize_local(spark, ref[len(prefix):])
+            )
+    return reader.parquet(_absolutize_local(spark, ref))
+
+
 def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
                 partition_by: tuple[str, ...] = (),
                 bucket_by: tuple[str, ...] = (), n_buckets: int = 0) -> None:
@@ -145,4 +180,14 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
             return
     if bucket_by:
         raise ValueError("bucketed writes need a table: / iceberg: ref")
+    for prefix, fmt in (("jsonl:", "json"), ("json:", "json"),
+                        ("csv:", "csv"), ("orc:", "orc")):
+        if ref.startswith(prefix):
+            # jsonl export is how prepared corpora leave the engine
+            # for training consumers; csv writes a header to stay
+            # round-trippable through load_table's csv reader
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.format(fmt).save(ref[len(prefix):])
+            return
     w.parquet(ref)

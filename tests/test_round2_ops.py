@@ -470,3 +470,52 @@ def test_sources_format_prefixes(spark, tmp_path):
     for bad in (f"orc:{oc}", str(tmp_path / "nope.parquet"), "table:src_view"):
         with _pytest.raises(ValueError, match="schema"):
             load_table(spark, bad, schema="doc_id long")
+
+
+def test_sources_write_format_prefixes_round_trip(spark, tmp_path):
+    from pytod_spark.sources import load_table, write_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    jl = str(tmp_path / "out_jsonl")
+    write_table(df, f"jsonl:{jl}")
+    back = load_table(spark, f"jsonl:{jl}", schema="doc_id long, text string")
+    assert {r["doc_id"] for r in back.collect()} == {1, 2}
+    cv = str(tmp_path / "out_csv")
+    write_table(df, f"csv:{cv}")
+    back2 = load_table(spark, f"csv:{cv}", schema="doc_id long, text string")
+    assert back2.count() == 2
+    oc = str(tmp_path / "out_orc")
+    write_table(df, f"orc:{oc}")
+    assert load_table(spark, f"orc:{oc}").count() == 2
+
+
+def test_load_stream_prefixes_and_schema_gate(spark, tmp_path):
+    """load_stream mirrors load_table for streaming reads; the
+    mandatory-schema gate fires before any query starts."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from pytod_spark.sources import load_stream
+
+    jl_dir = tmp_path / "stream_src"
+    jl_dir.mkdir()
+    (jl_dir / "part0.jsonl").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": f"t{i}"}) for i in range(4))
+    )
+    with _pytest.raises(ValueError, match="explicit schema"):
+        load_stream(spark, f"jsonl:{jl_dir}")
+    stream = load_stream(
+        spark, f"jsonl:{jl_dir}", schema="doc_id long, text string"
+    )
+    assert stream.isStreaming
+    out = str(tmp_path / "stream_out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 4
