@@ -114,7 +114,7 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--master", default=None)
 
     c = sub.add_parser("chunk", help="split documents into overlapping fixed-token chunks")
-    c.add_argument("--input", required=True, help="parquet dir, table:<name>, or jsonl:/csv:/orc:<path> with (doc_id, text)")
+    c.add_argument("--input", required=True, help="parquet dir, table:/iceberg:<name>, or jsonl:/json:/csv:/orc:<path> with (doc_id, text)")
     c.add_argument("--out", required=True)
     c.add_argument("--chunk-tokens", type=int, default=512)
     c.add_argument("--overlap", type=int, default=64)

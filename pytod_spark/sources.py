@@ -27,6 +27,15 @@ from pyspark.sql import DataFrame, SparkSession
 # paths and go straight to parquet
 _IDENTIFIER_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*\Z")
 
+# one table for every format-prefixed ref — load_table, load_stream,
+# and write_table must stay symmetric (a ref that loads must write)
+_FORMAT_PREFIXES = (
+    ("jsonl:", "json"),
+    ("json:", "json"),
+    ("csv:", "csv"),
+    ("orc:", "orc"),
+)
+
 
 def load_table(spark: SparkSession, ref: str, schema=None) -> DataFrame:
     """Resolve `ref` to a DataFrame.
@@ -58,8 +67,7 @@ def load_table(spark: SparkSession, ref: str, schema=None) -> DataFrame:
                     "schema argument"
                 )
             return spark.read.table(ref[len(prefix):])
-    for prefix, fmt in (("jsonl:", "json"), ("json:", "json"),
-                        ("csv:", "csv"), ("orc:", "orc")):
+    for prefix, fmt in _FORMAT_PREFIXES:
         if ref.startswith(prefix):
             path = _absolutize_local(spark, ref[len(prefix):])
             if fmt == "orc":
@@ -73,7 +81,15 @@ def load_table(spark: SparkSession, ref: str, schema=None) -> DataFrame:
             if schema is not None:
                 reader = reader.schema(schema)
             if fmt == "csv":
-                reader = reader.option("header", "true")
+                # multiLine: source text virtually always contains
+                # newlines; without it a quoted embedded newline
+                # silently splits one record into corrupt fragments.
+                # escape='"' matches the writer's quote-doubling.
+                reader = (
+                    reader.option("header", "true")
+                    .option("multiLine", "true")
+                    .option("escape", '"')
+                )
                 if schema is None:
                     reader = reader.option("inferSchema", "true")
             return reader.format(fmt).load(path)
@@ -137,17 +153,30 @@ def load_stream(spark: SparkSession, ref: str, schema=None) -> DataFrame:
                     "schema argument"
                 )
             return spark.readStream.table(ref[len(prefix):])
+    # mirror load_table's bare-identifier catalog resolution: a name
+    # that streams fine as `table:corpus` must not be misdiagnosed as
+    # a parquet path missing a schema
+    if _IDENTIFIER_RE.match(ref) and spark.catalog.tableExists(ref):
+        if schema is not None:
+            raise ValueError(
+                f"{ref!r} is a catalog table; it carries its own "
+                "schema — drop the schema argument"
+            )
+        return spark.readStream.table(ref)
     if schema is None:
         raise ValueError(
             "streaming file sources require an explicit schema "
             "(inference would re-run per restart and mask drift)"
         )
     reader = spark.readStream.schema(schema)
-    for prefix, fmt in (("jsonl:", "json"), ("json:", "json"),
-                        ("csv:", "csv"), ("orc:", "orc")):
+    for prefix, fmt in _FORMAT_PREFIXES:
         if ref.startswith(prefix):
             if fmt == "csv":
-                reader = reader.option("header", "true")
+                reader = (
+                    reader.option("header", "true")
+                    .option("multiLine", "true")
+                    .option("escape", '"')
+                )
             return reader.format(fmt).load(
                 _absolutize_local(spark, ref[len(prefix):])
             )
@@ -180,14 +209,17 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
             return
     if bucket_by:
         raise ValueError("bucketed writes need a table: / iceberg: ref")
-    for prefix, fmt in (("jsonl:", "json"), ("json:", "json"),
-                        ("csv:", "csv"), ("orc:", "orc")):
+    spark = df.sparkSession
+    for prefix, fmt in _FORMAT_PREFIXES:
         if ref.startswith(prefix):
             # jsonl export is how prepared corpora leave the engine
-            # for training consumers; csv writes a header to stay
-            # round-trippable through load_table's csv reader
+            # for training consumers; csv writes a header (and the
+            # reader sets multiLine) so embedded newlines round-trip.
+            # escape='"' = RFC-4180 quote-doubling on BOTH sides —
+            # Spark's writer default escapes quotes with backslash,
+            # which the multiLine reader would misparse.
             if fmt == "csv":
-                w = w.option("header", "true")
-            w.format(fmt).save(ref[len(prefix):])
+                w = w.option("header", "true").option("escape", '"')
+            w.format(fmt).save(_absolutize_local(spark, ref[len(prefix):]))
             return
-    w.parquet(ref)
+    w.parquet(_absolutize_local(spark, ref))

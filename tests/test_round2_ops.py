@@ -475,18 +475,28 @@ def test_sources_format_prefixes(spark, tmp_path):
 def test_sources_write_format_prefixes_round_trip(spark, tmp_path):
     from pytod_spark.sources import load_table, write_table
 
-    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    # adversarial text: embedded newlines, quotes, and commas — the
+    # content this engine actually carries (source code) — must
+    # round-trip through every format byte-identically
+    df = spark.createDataFrame(
+        [(1, 'line1\nline2 "quoted", comma'), (2, "plain")],
+        "doc_id long, text string",
+    )
+    want = {r["doc_id"]: r["text"] for r in df.collect()}
     jl = str(tmp_path / "out_jsonl")
     write_table(df, f"jsonl:{jl}")
     back = load_table(spark, f"jsonl:{jl}", schema="doc_id long, text string")
-    assert {r["doc_id"] for r in back.collect()} == {1, 2}
+    assert {r["doc_id"]: r["text"] for r in back.collect()} == want
     cv = str(tmp_path / "out_csv")
     write_table(df, f"csv:{cv}")
     back2 = load_table(spark, f"csv:{cv}", schema="doc_id long, text string")
-    assert back2.count() == 2
+    assert {r["doc_id"]: r["text"] for r in back2.collect()} == want
     oc = str(tmp_path / "out_orc")
     write_table(df, f"orc:{oc}")
-    assert load_table(spark, f"orc:{oc}").count() == 2
+    assert {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, f"orc:{oc}").collect()
+    } == want
 
 
 def test_load_stream_prefixes_and_schema_gate(spark, tmp_path):
@@ -519,3 +529,20 @@ def test_load_stream_prefixes_and_schema_gate(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 4
+
+
+def test_load_stream_resolves_bare_catalog_identifier(spark, tmp_path):
+    from pytod_spark.sources import load_stream
+
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "overwrite"
+    ).saveAsTable("stream_cat_tbl")
+    try:
+        st = load_stream(spark, "stream_cat_tbl")
+        assert st.isStreaming
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="catalog table"):
+            load_stream(spark, "stream_cat_tbl", schema="id long")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stream_cat_tbl")
