@@ -444,3 +444,41 @@ def test_report_examples_use_window_group_limit(spark, tmp_path):
     got = _examples_per_partition(df, "lang", 3, ["a"])
     assert set(got) == {"a"} and len(got["a"]) == 3
     assert _examples_per_partition(df, "lang", 3, ["zz"]) == {}
+
+
+def test_constraint_violations_is_map_only(spark, docs):
+    """The violations pass claims one map-only codegen span: no
+    Exchange, no Python eval anywhere in its plan."""
+    from pytod_spark.validation.constraints import (
+        RowConstraint,
+        row_constraint_violations,
+    )
+
+    out = row_constraint_violations(
+        docs.select("doc_id", "lang", "n_chars"),
+        [RowConstraint("len", "n_chars <= 100"),
+         RowConstraint("lang_set", "lang IN ('en', 'de')")],
+        keep_cols=["doc_id"],
+    )
+    p = _plan(out)
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_constraint_summary_partial_aggregates(spark, docs):
+    """The summary claims a partial-aggregating groupBy: map-side
+    combine collapses each split to |groups| rows before the one
+    model-sized shuffle."""
+    from pytod_spark.validation.constraints import (
+        RowConstraint,
+        row_constraint_summary,
+    )
+
+    out = row_constraint_summary(
+        docs.select("doc_id", "lang", "n_chars"),
+        [RowConstraint("len", "n_chars <= 100")],
+        ["lang"],
+    )
+    p = _plan(out)
+    assert "partial_count" in p  # map-side combine under the agg
+    assert p.count("Exchange") == 1  # exactly the one grouped shuffle
