@@ -111,7 +111,7 @@ def load_table(spark: SparkSession, ref: str, schema=None) -> DataFrame:
         raise
 
 
-def _absolutize_local(spark: SparkSession, ref: str) -> str:
+def _absolutize_local(spark: SparkSession, ref: str, for_write: bool = False) -> str:
     """Absolutize a bare relative dir, but ONLY when the session's
     default filesystem is local: the caller's intent was checked
     against the Python process's cwd, while Spark resolves a relative
@@ -119,8 +119,16 @@ def _absolutize_local(spark: SparkSession, ref: str) -> str:
     / notebook kernels. On a cluster whose fs.defaultFS is HDFS/S3 a
     relative ref means a defaultFS-relative path, and rewriting it to
     a driver-local abspath (that merely happens to exist in the
-    checkout) would point Spark at the wrong filesystem entirely."""
-    if "://" in ref or os.path.isabs(ref) or not os.path.exists(ref):
+    checkout) would point Spark at the wrong filesystem entirely.
+
+    ``for_write=True`` (the sink path) absolutizes even when the path
+    does not exist yet — the normal case for a fresh write target;
+    without it a fresh relative write resolves against the JVM's
+    user.dir while a later load of the same ref resolves against the
+    Python cwd, breaking load/write symmetry."""
+    if "://" in ref or os.path.isabs(ref):
+        return ref
+    if not for_write and not os.path.exists(ref):
         return ref
     try:
         default_fs = (
@@ -220,6 +228,8 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite",
             # which the multiLine reader would misparse.
             if fmt == "csv":
                 w = w.option("header", "true").option("escape", '"')
-            w.format(fmt).save(_absolutize_local(spark, ref[len(prefix):]))
+            w.format(fmt).save(
+                _absolutize_local(spark, ref[len(prefix):], for_write=True)
+            )
             return
-    w.parquet(_absolutize_local(spark, ref))
+    w.parquet(_absolutize_local(spark, ref, for_write=True))

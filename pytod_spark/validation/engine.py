@@ -826,6 +826,11 @@ class ValidationSuite:
                     "n_dup_keys": int(sums["dup_keys"].get(part, 0) or 0),
                     "n_extra_rows": int(sums["extra_rows"].get(part, 0) or 0),
                     "n_orphans": int(sums["orphans"].get(part, 0) or 0),
+                    # unrounded count alongside the rounded rate: at
+                    # 10^12-row partitions a handful of outliers rounds
+                    # the rate to 0.0, and the report's drift-example
+                    # gate must still see that violation rows exist
+                    "n_outliers": int(sums["outliers"].get(part, 0)),
                     "outlier_rate": round(
                         sums["outliers"].get(part, 0)
                         / max(1, sums["drift_n"].get(part, 0)),
@@ -952,6 +957,7 @@ class ValidationSuite:
                     "n_dup_keys": int(uniq[part]["k"]) if part in uniq else 0,
                     "n_extra_rows": int(uniq[part]["x"] or 0) if part in uniq else 0,
                     "n_orphans": int(orphans.get(part, 0)),
+                    "n_outliers": int(drift[part]["o"] or 0) if part in drift else 0,
                     "outlier_rate": round(
                         (drift[part]["o"] / max(1, drift[part]["n"]))
                         if part in drift
@@ -996,6 +1002,7 @@ class ValidationSuite:
                 ("n_dup_keys", pa.int64()),
                 ("n_extra_rows", pa.int64()),
                 ("n_orphans", pa.int64()),
+                ("n_outliers", pa.int64()),
                 ("outlier_rate", pa.float64()),
                 ("psi_max", pa.float64()),
                 ("n_dist_drifted", pa.int64()),

@@ -31,8 +31,12 @@ from .io import has_parquet, read_string_partitioned
 # rows that contradict the verdicts beside them.
 _VIOLATION_ARTIFACTS = {
     "uniqueness_violations": ("uniqueness", "n_dup_keys"),
+    # integer count, NOT the rounded outlier_rate: at 10^12-row
+    # partitions a few outliers round the rate to 0.0 and the example
+    # rows on disk would be silently dropped (verdicts written before
+    # the n_outliers column fall back to the rate in the gate below)
+    "drift_violations": ("drift", "n_outliers"),
     "ri_violations": ("ri", "n_orphans"),
-    "drift_violations": ("drift", "outlier_rate"),
     "constraint_violations": ("constraints", "n_constraint_viol"),
 }
 
@@ -93,7 +97,21 @@ def run_report(
     # read them back the same way (no job)
     import pyarrow.parquet as pq
 
-    verdicts = pq.read_table(vdir).to_pylist()
+    vtable = pq.read_table(vdir)
+    if pcol not in vtable.schema.names:
+        # fail fast with the actual column instead of a bare KeyError
+        # from the sort below (CLI convention for report preconditions)
+        known = [
+            c
+            for c in vtable.schema.names
+            if not (c.startswith("n_") or c.endswith("_pass")
+                    or c in ("outlier_rate", "psi_max"))
+        ]
+        raise ValueError(
+            f"partition column {pcol!r} not in the run's verdict table; "
+            f"this run was partitioned on {known or vtable.schema.names!r}"
+        )
+    verdicts = vtable.to_pylist()
     pass_cols = {
         "uniqueness": "uniqueness_pass",
         "ri": "ri_pass",
@@ -112,8 +130,9 @@ def run_report(
                 k: v[k]
                 for k in (
                     "n_rows", "n_dup_keys", "n_extra_rows", "n_orphans",
-                    "outlier_rate", "psi_max", "n_dist_drifted",
-                    "n_constraint_viol", "n_constraint_failed",
+                    "n_outliers", "outlier_rate", "psi_max",
+                    "n_dist_drifted", "n_constraint_viol",
+                    "n_constraint_failed",
                 )
                 if k in v
             },
@@ -134,7 +153,18 @@ def run_report(
             parts = [
                 p
                 for p, e in report["partitions"].items()
-                if (e["counts"].get(count_col) or 0) > 0
+                if (
+                    e["counts"].get(
+                        count_col,
+                        # pre-n_outliers verdict tables: fall back to
+                        # the rounded rate rather than dropping the gate
+                        e["counts"].get("outlier_rate")
+                        if count_col == "n_outliers"
+                        else None,
+                    )
+                    or 0
+                )
+                > 0
             ]
             if not parts:
                 continue
