@@ -127,6 +127,24 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--threshold", type=float, default=0.05)
     x.add_argument("--master", default=None)
 
+    fm = sub.add_parser(
+        "fit-monitor",
+        help="fit the streaming drift reference model (HBOS histogram + "
+        "threshold) on a snapshot and persist it; a restarted stream or "
+        "nightly validate then scores against the frozen artifact "
+        "(streaming/drift_monitor.py load_reference_model) without refit",
+    )
+    fm.add_argument("--ref", required=True,
+                    help="reference snapshot (parquet dir, table:/iceberg:"
+                    "<name>, or jsonl:/json:/csv:/orc:<path>)")
+    fm.add_argument("--value-col", default="value")
+    fm.add_argument("--out", required=True,
+                    help="model artifact ref (parquet dir or table:<name>)")
+    fm.add_argument("--n-bins", type=int, default=10)
+    fm.add_argument("--alpha", type=float, default=0.1)
+    fm.add_argument("--contamination", type=float, default=0.1)
+    fm.add_argument("--master", default=None)
+
     s = sub.add_parser("sample", help="deterministic hash sample of a table")
     s.add_argument("--input", required=True)
     s.add_argument("--out", required=True)
@@ -354,6 +372,27 @@ def main(argv: list[str] | None = None) -> int:
             args.group_col,
         )
         print(json.dumps([r.asDict() for r in rep.orderBy(args.group_col).collect()]))
+        return 0
+
+    if args.cmd == "fit-monitor":
+        from .streaming.drift_monitor import (
+            fit_reference_model,
+            save_reference_model,
+        )
+
+        model = fit_reference_model(
+            load_table(spark, args.ref),
+            args.value_col,
+            n_bins=args.n_bins,
+            alpha=args.alpha,
+            contamination=args.contamination,
+        )
+        save_reference_model(spark, model, args.out)
+        print(json.dumps({
+            "out": args.out, "n_bins": model["n_bins"],
+            "threshold": model["threshold"],
+            "lo": model["lo"], "hi": model["hi"],
+        }))
         return 0
 
     if args.cmd == "sample":

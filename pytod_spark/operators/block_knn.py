@@ -29,9 +29,13 @@ linearly in B, so past the frontier the exact join is compute-bound at
 ~n^2·d/(cluster FLOP/s). Measured on this 32-thread host
 (BENCH/knn_frontier.json): 250k x 20 in 267s steady, 500k in 435s,
 1M x 20 in 2,202s = 36.7 min — inside the reference's ">1M within an
-hour" GPU claim (README.rst:64) on CPU alone, with exact output. The
-crossover rule an engine caller should apply per GROUP (groups are
-independent — only same-group tiles pair):
+hour" GPU claim (README.rst:64) on CPU alone, with exact output.
+Since round 5 the handoff is CODE, not policy: ``knn_join``'s default
+``strategy='auto'`` dispatches ungrouped Euclidean inputs past
+``IVF_HANDOFF_ROWS`` to ``similarity.ivf_knn_join`` (with a WARNING —
+approximate past the frontier, ``strategy='exact'`` opts out). The
+crossover rule per GROUP (groups are independent — only same-group
+tiles pair):
 
 * n <= ~1M per group — run this exact join (block_size 4096-8192;
   pick block_size ~ sqrt(n)·64 to keep B in the hundreds and tasks
@@ -243,6 +247,16 @@ def tile_sides(df, id_col, features_col, group_cols, n_blocks):
     return left, right, left_keys, right_keys
 
 
+#: Exact->IVF handoff threshold for ``knn_join(strategy='auto')``, in
+#: rows per (ungrouped) input. Grounded by the measured frontier
+#: (scripts/knn_frontier.py, BENCH/knn_frontier.json): exact tile kNN
+#: on this 32-thread host runs 250k rows in 267s, 500k in 435s, 1M in
+#: 2,202s (36.7 min) — the module docstring's "n <= ~1M per group runs
+#: exact" rule. Above it the quadratic tile compute dominates and the
+#: IVF equi-join path (similarity.ivf_knn_join) takes over with a
+#: logged WARNING (approximate: recall < 1 by IVF design).
+IVF_HANDOFF_ROWS = 1_000_000
+
 #: Default broadcast-side budget for the small-input fast path, in
 #: fp64 feature ELEMENTS (n_rows x dim): 8M elements = 64 MB — the
 #: same order as a comfortable BroadcastExchange build side. At or
@@ -365,6 +379,8 @@ def knn_join(
     precision: str = "high",
     largest: bool = False,
     broadcast_elems: int = BROADCAST_MAX_ELEMS,
+    strategy: str = "auto",
+    ivf_handoff_rows: int = IVF_HANDOFF_ROWS,
 ) -> DataFrame:
     """Self kNN join: for every row, its k nearest rows (self included,
     occupying the distance-0 slot, as in pytod knn.py:100-108).
@@ -376,12 +392,57 @@ def knn_join(
     (dist desc, nbr_id asc); each tile then keeps its per-row partial
     top-k, same shuffle math.
 
+    Strategy dispatch (``strategy``):
+
+    * ``'auto'`` (default) — broadcast path for small inputs (below),
+      exact tile cogroup in the middle, and PAST THE MEASURED FRONTIER
+      (``ivf_handoff_rows``, default 1M — BENCH/knn_frontier.json puts
+      1M rows at 36.7 min on 32 threads and the cost is quadratic from
+      there) an ungrouped Euclidean input hands off to the IVF
+      equi-join path (``similarity.ivf_knn_join``) with a WARNING:
+      output contract identical, results APPROXIMATE (recall < 1 —
+      exact-rechecking flagged rows is the caller's move, module
+      docstring). Grouped, non-L2 (p != 2) and ``largest`` inputs
+      never hand off (IVF prunes by nearest-centroid, which bounds
+      nothing for farthest-k); they stay exact at any size.
+    * ``'exact'`` — never hand off (the pre-round-5 behavior);
+    * ``'ivf'`` — force the IVF path regardless of size (its
+      ``n_probe >= n_clusters`` setting reproduces exact output, the
+      parity pin in tests).
+
     Small ungrouped inputs (n x dim <= ``broadcast_elems`` fp64
     elements; 0 disables) take the shuffle-free broadcast path
     (``_broadcast_knn``) — same exact output, no exchanges.
     """
+    import logging
+
     group_cols = list(group_cols)
+    if strategy not in ("auto", "exact", "ivf"):
+        raise ValueError(f"unknown strategy {strategy!r}: auto|exact|ivf")
     n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
+    ivf_eligible = not group_cols and not largest and p == 2.0
+    if strategy == "ivf" or (
+        strategy == "auto" and ivf_eligible and ivf_handoff_rows and n > ivf_handoff_rows
+    ):
+        if not ivf_eligible:
+            raise ValueError(
+                "strategy='ivf' needs an ungrouped Euclidean (p=2) "
+                "nearest-k join — grouped/farthest/p!=2 inputs have no "
+                "IVF pruning bound"
+            )
+        from .similarity import ivf_knn_join
+
+        if strategy == "auto":
+            logging.getLogger(__name__).warning(
+                "knn_join: n=%d exceeds the exact-join frontier (%d rows, "
+                "BENCH/knn_frontier.json) — dispatching to the IVF "
+                "equi-join path; results are approximate (recall < 1). "
+                "Force strategy='exact' to keep the quadratic tile plan.",
+                n, ivf_handoff_rows,
+            )
+        return ivf_knn_join(
+            df, k, id_col=id_col, features_col=features_col, n_rows=n
+        )
     if not group_cols and fits_broadcast_budget(
         df, features_col, n_rows=n, budget=broadcast_elems
     ):

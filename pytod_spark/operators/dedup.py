@@ -101,6 +101,57 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def band_key_exprs() -> list:
+    """The N_BANDS band-key expressions over a signature frame's
+    ``m0..m{15}`` columns — xxhash64(band_id, mins...) per band (see
+    lsh_candidate_pairs for why). ONE definition shared by the
+    self-join path, the persisted index (operators/neardup_index.py),
+    and the map-side variant below, so every surface bands identically
+    and index probes join the exact keys the build wrote."""
+    return [
+        F.xxhash64(
+            F.lit(b),
+            *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+        )
+        for b in range(N_BANDS)
+    ]
+
+
+def banded_frame(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_key) — one row per band per doc, the frame every LSH
+    consumer self-joins or index-probes on."""
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_key_exprs())).alias("band_key")
+    )
+
+
+def map_side_band_keys(text_col, n: int = 3):
+    """Band keys as ONE map-side Column expression (array<long>) — no
+    explode/groupBy, so it runs on a Structured Streaming frame (the
+    ingest near-dup filter) and in any per-row context. Exactly the
+    batch pipeline's keys: same shingles, same md5_hash60 % P, same
+    affine permutations, same xxhash64 band hash — the only difference
+    is that the per-permutation min runs as ``array_min`` over the
+    row's own shingle hashes instead of a partial-aggregated groupBy
+    min (parity pinned in tests). Docs with no shingles (< n tokens,
+    or NULL text) yield NULL — callers filter those out, matching the
+    batch path where such docs never reach the banding (their exploded
+    shingle frame is empty)."""
+    sh = shingles(text_col, n)
+    hs = F.transform(sh, lambda s: md5_hash60(s) % MINHASH_P)
+    mins = [
+        F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P))
+        for (a, b) in MINHASH_COEFFS
+    ]
+    keys = [
+        F.xxhash64(
+            F.lit(b), *[mins[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+        )
+        for b in range(N_BANDS)
+    ]
+    return F.when(F.size(sh) >= 1, F.array(*keys))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -127,14 +178,7 @@ def lsh_candidate_pairs(
     reported via ``skew_stats`` (operators/skew.py)."""
     from .skew import DEFAULT_BUCKET_CAP, capped_self_join_pairs
 
-    keys = [
-        F.xxhash64(
-            F.lit(b),
-            *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-        )
-        for b in range(N_BANDS)
-    ]
-    banded = sigs.select(F.col(id_col), F.explode(F.array(*keys)).alias("band_key"))
+    banded = banded_frame(sigs, id_col)
     return capped_self_join_pairs(
         banded,
         ["band_key"],

@@ -363,6 +363,14 @@ def ann_cosine_topk(
 
 
 # ------------------------------------------------------------------- IVF
+#
+# The fit/search below recompute everything per call; the persisted
+# index surface (ivf_index_build / ivf_index_search / ivf_index_append,
+# end of file) freezes the coarse quantizer + cell assignments as
+# artifacts so repeated searches and incremental corpus growth stop
+# paying the fit — the same artifact posture as the MinHash index
+# (operators/neardup_index.py; the reference refits per call,
+# pytod/models/knn.py:100-108).
 
 
 def _unit_col(features_col: str):
@@ -571,3 +579,351 @@ def ivf_topk(
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+# ----------------------------------------------------- L2 IVF kNN join
+
+
+def _l2_fit(
+    df: DataFrame,
+    n_clusters: int,
+    n_iters: int,
+    id_col: str,
+    features_col: str,
+    broadcast_elems: int = BROADCAST_MAX_ELEMS,
+) -> np.ndarray:
+    """Euclidean (non-spherical) Lloyd fit for the kNN handoff's coarse
+    quantizer — the L2 sibling of ``ivf_fit``: same one-job-per-
+    iteration partial-sum shape, same deterministic conventions (init =
+    rows of the n_clusters smallest ids, ties -> lowest cell), but
+    centroids are plain means of RAW vectors and assignment is argmin
+    L2 distance (computed as argmax(x·c - |c|²/2) so the kernel stays
+    one matmul)."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(features_col).cast("array<double>").alias("__f"),
+    )
+    if fits_broadcast_budget(df, features_col, budget=broadcast_elems):
+        pdf = base.toPandas().sort_values("__id", kind="stable")
+        X = np.stack(pdf["__f"].to_numpy()).astype(np.float64, copy=False)
+        C = X[:n_clusters].copy()
+        for _ in range(n_iters):
+            scores = X @ C.T - 0.5 * (C * C).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            for j in range(n_clusters):
+                members = X[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        return C
+    first = base.orderBy("__id").limit(n_clusters).collect()
+    C = np.array([r["__f"] for r in sorted(first, key=lambda r: r["__id"])])
+    dim = C.shape[1]
+    for _ in range(n_iters):
+        Cb = np.ascontiguousarray(C)
+
+        def kernel(it, Cb=Cb):
+            sums = np.zeros_like(Cb)
+            counts = np.zeros(len(Cb), dtype=np.int64)
+            seen = False
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                seen = True
+                X = np.stack(pdf["__f"].to_numpy()).astype(np.float64, copy=False)
+                a = np.argmax(X @ Cb.T - 0.5 * (Cb * Cb).sum(axis=1), axis=1)
+                np.add.at(sums, a, X)
+                counts += np.bincount(a, minlength=len(Cb))
+            if seen:
+                yield pd.DataFrame(
+                    {"cell": np.arange(len(Cb), dtype=np.int32),
+                     "n": counts, "s": list(sums)}
+                )
+
+        partials = base.mapInPandas(kernel, schema="cell int, n long, s array<double>")
+        agg = (
+            partials.groupBy("cell")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(F.element_at("s", j + 1)).alias(f"s{j}") for j in range(dim)],
+            )
+            .collect()
+        )
+        for r in agg:
+            if r["n"]:
+                C[r["cell"]] = np.array([r[f"s{j}"] for j in range(dim)]) / r["n"]
+    return C
+
+
+def _l2_assign_probes(base: DataFrame, centroids: np.ndarray, npb: int) -> DataFrame:
+    """(__id, probes array<int>) by ascending L2 distance to the frozen
+    centroids; ties -> lowest cell (stable argsort on the negated
+    score, mirroring ``_assign_probes``)."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    half = 0.5 * (C * C).sum(axis=1)
+    npb = min(npb, C.shape[0])
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__f"].to_numpy()).astype(np.float64, copy=False)
+            order = np.argsort(-(X @ C.T - half), axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "probes": list(order.astype(np.int32))}
+            )
+
+    id_type = base.schema["__id"].dataType.simpleString()
+    return base.mapInPandas(kernel, schema=f"__id {id_type}, probes array<int>")
+
+
+def ivf_knn_join(
+    df: DataFrame,
+    k: int,
+    n_clusters: int | None = None,
+    n_iters: int = 3,
+    n_probe: int = 8,
+    n_assign: int = 2,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Approximate Euclidean self-kNN with the ``knn_join`` output
+    contract — (row_id, nbr_id, dist, rn), rn = 1..k by (dist asc,
+    nbr_id asc), SELF INCLUDED in the distance-0 slot — via an IVF
+    coarse quantizer instead of the quadratic tile sweep: fit L2
+    centroids (one job per Lloyd iteration), multi-assign every vector
+    to its ``n_assign`` nearest cells, probe each query's ``n_probe``
+    nearest cells, exact-L2 refine through a JVM-side zip_with
+    aggregate on the cell EQUI-join's candidates. Candidate volume is
+    n·(n_assign·n_probe/C)·avg_cell — never n²/B. Recall < 1 by IVF
+    design; ``n_probe >= n_clusters`` probes every cell and reproduces
+    the exact join bit-for-bit (the parity pin in tests). This is the
+    target of ``knn_join(strategy='auto')``'s past-the-frontier
+    handoff (operators/block_knn.py docstring, BENCH/knn_frontier.json);
+    default ``n_clusters`` = ~sqrt(n), the standard IVF nlist rule.
+
+    Rows whose probed cells hold fewer than k candidates return fewer
+    than k rows (same contract as the cosine IVF)."""
+    from .block_knn import estimate_rows
+
+    n = n_rows if n_rows is not None else (estimate_rows(df) or df.count())
+    if n_clusters is None:
+        n_clusters = max(16, min(4096, int(math.isqrt(max(1, n)))))
+    base = track(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(features_col).cast("array<double>").alias("__f"),
+        ).persist()
+    )
+    C = _l2_fit(base, n_clusters, n_iters, "__id", "__f")
+    ap = track(_l2_assign_probes(base, C, max(n_probe, n_assign)).persist())
+    assigned = ap.select(
+        F.col("__id").alias("nbr_id"),
+        F.explode(F.slice("probes", 1, n_assign)).alias("__cell"),
+    )
+    probes = ap.select(
+        F.col("__id").alias("__qid"),
+        F.explode(F.slice("probes", 1, n_probe)).alias("__cell"),
+    )
+    cand = (
+        probes.join(assigned, "__cell")
+        .select("__qid", "nbr_id")
+        .distinct()
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("__fa"), F.col("__fb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(base.select(F.col("__id").alias("__qid"), F.col("__f").alias("__fa")), "__qid")
+        .join(base.select(F.col("__id").alias("nbr_id"), F.col("__f").alias("__fb")), "nbr_id")
+        .select("__qid", "nbr_id", F.sqrt(sqdist).alias("dist"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("dist").asc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .withColumnRenamed("__qid", id_col)
+    )
+
+
+# ------------------------------------------------- persisted IVF index
+
+#: bump on incompatible centroid/assignment conventions
+IVF_INDEX_VERSION = 1
+
+
+def _ivf_sub_ref(ref: str, name: str) -> str:
+    from .neardup_index import _sub_ref
+
+    return _sub_ref(ref, name)
+
+
+def ivf_index_build(
+    df: DataFrame,
+    ref: str,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+    n_assign: int = 3,
+    id_col: str = "row_id",
+    features_col: str = "features",
+) -> dict:
+    """Fit the coarse quantizer once and persist the serving state:
+
+      R/centroids — (cell int, v array<double>)   the frozen model
+      R/vectors   — (doc_id, u array<double>)     unit vectors (refine side)
+      R/cells     — (cell int, doc_id)            inverted lists (equi-join side)
+      R/meta      — 1 row (version, n_clusters, n_assign, dim)
+
+    Searches then pay only assignment-of-queries + one cell equi-join +
+    refine; corpus growth appends through ``ivf_index_append`` against
+    the FROZEN centroids (the standard IVF posture — centroid drift is
+    a rebuild decision, surfaced by the cell-balance stats this
+    returns, not something an append silently does)."""
+    from ..sources import write_table
+
+    spark = df.sparkSession
+    u = _unit_frame(df, id_col, features_col)
+    centroids = ivf_fit(df, n_clusters, n_iters, id_col, features_col, unit=u)
+    dim = centroids.shape[1]
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "cell int, v array<double>",
+    )
+    ap = _assign_probes(u, centroids, n_assign)
+    cells = ap.select(
+        F.explode(F.slice("probes", 1, n_assign)).alias("cell"),
+        F.col("__id").alias("doc_id"),
+    )
+    vectors = u.select(F.col("__id").alias("doc_id"), F.col("__u").alias("u"))
+    write_table(cdf, _ivf_sub_ref(ref, "centroids"))
+    write_table(vectors, _ivf_sub_ref(ref, "vectors"))
+    write_table(cells, _ivf_sub_ref(ref, "cells"))
+    meta = spark.createDataFrame(
+        [(IVF_INDEX_VERSION, int(n_clusters), int(n_assign), int(dim))],
+        "version int, n_clusters int, n_assign int, dim int",
+    )
+    write_table(meta, _ivf_sub_ref(ref, "meta"))
+    sizes = (
+        cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).agg(
+            F.min("n").alias("min_cell"), F.max("n").alias("max_cell"),
+            F.count(F.lit(1)).alias("n_cells"),
+        ).first()
+    )
+    return {
+        "ref": ref,
+        "n_cells": int(sizes["n_cells"]),
+        "min_cell": int(sizes["min_cell"]),
+        "max_cell": int(sizes["max_cell"]),
+    }
+
+
+def _ivf_load(spark, ref: str):
+    import numpy as np
+
+    from ..sources import load_table
+
+    meta_rows = load_table(spark, _ivf_sub_ref(ref, "meta")).collect()
+    if len(meta_rows) != 1 or meta_rows[0]["version"] != IVF_INDEX_VERSION:
+        raise ValueError(
+            f"IVF index at {ref!r} is missing/corrupt or a different "
+            "version — rebuild it"
+        )
+    meta = meta_rows[0].asDict()
+    crows = load_table(spark, _ivf_sub_ref(ref, "centroids")).collect()
+    C = np.zeros((meta["n_clusters"], meta["dim"]))
+    for r in crows:
+        C[r["cell"]] = r["v"]
+    return meta, C
+
+
+def ivf_index_search(
+    queries_df: DataFrame,
+    ref: str,
+    k: int,
+    n_probe: int = 3,
+    id_col: str = "row_id",
+    features_col: str = "features",
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate cosine top-k of each query against the INDEXED
+    corpus: assign query probes against the frozen centroids (one
+    Arrow matmul kernel), equi-join the stored inverted lists, refine
+    with exact cosine against the stored unit vectors, window top-k.
+    ``include_self=False`` drops exact id matches (self-search when
+    querying with indexed rows)."""
+    from ..sources import load_table
+
+    spark = queries_df.sparkSession
+    meta, C = _ivf_load(spark, ref)
+    uq = _unit_frame(queries_df, id_col, features_col)
+    probes = _assign_probes(uq, C, n_probe).select(
+        F.col("__id").alias(id_col),
+        F.explode(F.slice("probes", 1, n_probe)).alias("cell"),
+    )
+    cells = load_table(spark, _ivf_sub_ref(ref, "cells"))
+    cand = (
+        probes.join(cells, "cell")
+        .select(id_col, F.col("doc_id").alias("nbr_id"))
+        .distinct()
+    )
+    if not include_self:
+        cand = cand.where(F.col(id_col) != F.col("nbr_id"))
+    vectors = load_table(spark, _ivf_sub_ref(ref, "vectors")).select(
+        F.col("doc_id").alias("nbr_id"), F.col("u").alias("u_b")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(uq.select(F.col("__id").alias(id_col), F.col("__u").alias("u_a")), id_col)
+        .join(vectors, "nbr_id")
+        .select(id_col, "nbr_id", dot.alias("cos"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def ivf_index_append(
+    new_df: DataFrame,
+    ref: str,
+    id_col: str = "row_id",
+    features_col: str = "features",
+) -> dict:
+    """Fold new vectors into the index against the FROZEN centroids:
+    assign each new vector to its n_assign nearest cells (from meta),
+    append vectors + inverted-list rows. No refit — cell balance drift
+    under a shifting corpus is a rebuild decision; the returned cell
+    stats give the caller the signal. New ids already present raise
+    (append-only, same contract as the MinHash index)."""
+    from ..sources import load_table, write_table
+
+    spark = new_df.sparkSession
+    meta, C = _ivf_load(spark, ref)
+    stored_ids = load_table(spark, _ivf_sub_ref(ref, "vectors")).select(
+        F.col("doc_id").alias("__sid")
+    )
+    dup = new_df.join(stored_ids, new_df[id_col] == stored_ids["__sid"]).take(1)
+    if dup:
+        raise ValueError(
+            f"ivf_index_append: id {dup[0][id_col]} already indexed — the "
+            "index is append-only; rebuild to replace vectors"
+        )
+    un = _unit_frame(new_df, id_col, features_col)
+    # lineage reads the artifacts being appended to — materialize first
+    # (see neardup_index.minhash_index_refresh's write-after-read note)
+    ap = _assign_probes(un, C, meta["n_assign"]).localCheckpoint()
+    vec = un.select(
+        F.col("__id").alias("doc_id"), F.col("__u").alias("u")
+    ).localCheckpoint()
+    cells = ap.select(
+        F.explode(F.slice("probes", 1, meta["n_assign"])).alias("cell"),
+        F.col("__id").alias("doc_id"),
+    )
+    n_new = vec.count()
+    write_table(vec, _ivf_sub_ref(ref, "vectors"), mode="append")
+    write_table(cells, _ivf_sub_ref(ref, "cells"), mode="append")
+    return {"n_new_vectors": int(n_new)}

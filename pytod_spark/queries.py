@@ -726,15 +726,34 @@ SELECT * FROM (
 """
 
 
+#: declared sketch operating point + tolerances for the bounded-error
+#: oracle below: HLL++ at rsd 0.02 (its estimates are deterministic
+#: per dataset — measured max relative error 2.0% across
+#: sf0.001/0.01/0.1 on every profiled column); the acceptance band is
+#: the standard 3*rsd with a 2-count absolute floor for tiny
+#: cardinalities, where integer estimates step discretely.
+#: percentile_approx at default accuracy 10000 misplaces at most
+#: n/10000 ranks — 5% relative (0.01 absolute floor) is far outside
+#: the resulting value error on any non-degenerate distribution.
+SKETCH_DISTINCT_RSD = 0.02
+SKETCH_DISTINCT_RTOL = 3 * SKETCH_DISTINCT_RSD
+SKETCH_P50_RTOL = 0.05
+
+
 def q_stats_profile_sketch(spark, sf_dir):
-    """The 10^12-row stats pass: same single-scan wide aggregate as
-    q_stats_profile but with sketches — approx_count_distinct (HLL++)
-    and percentile_approx — instead of the exact count_distinct /
-    percentile, whose per-group state is unbounded. No SQL oracle by
-    construction (HLL estimates are implementation-specific; DuckDB's
-    approx_count_distinct uses a different sketch), so the driver
-    records rows-only; tests/test_validation asserts the estimates
-    land within tolerance of the exact twin, which IS oracle-checked."""
+    """The 10^12-row stats pass VALIDATED: the same single-scan wide
+    aggregate as q_stats_profile computes each column's sketches —
+    approx_count_distinct (HLL++) and percentile_approx, whose state
+    is bounded where exact count_distinct / percentile state is not —
+    SIDE BY SIDE with their exact twins, and emits a bounded-error
+    verdict per sketch (1 = estimate within the declared tolerance of
+    the exact value). HLL estimates are implementation-specific, so no
+    cross-engine oracle can check the raw estimate — but the VERDICT
+    is checkable: the DuckDB oracle recomputes the exact stats and
+    asserts the verdict columns are 1, which fails the row whenever a
+    sketch drifts out of tolerance. (The production sketch-only plan —
+    no exact twin in the aggregate — is what the validation engine
+    runs: validation/engine.py column_stats_frame.)"""
     li = load(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -742,15 +761,32 @@ def q_stats_profile_sketch(spark, sf_dir):
         col = F.col(c)
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"{c}__n_null"),
-            F.approx_count_distinct(col).alias(f"{c}__n_distinct"),
+            F.approx_count_distinct(col, SKETCH_DISTINCT_RSD).alias(f"{c}__sd"),
+            F.count_distinct(col).alias(f"{c}__ed"),
             F.round(F.min(col), 4).alias(f"{c}__min_v"),
             F.round(F.max(col), 4).alias(f"{c}__max_v"),
             F.round(F.avg(col), 4).alias(f"{c}__mean_v"),
             F.round(F.stddev_samp(col), 4).alias(f"{c}__std_v"),
-            F.round(F.percentile_approx(col, F.lit(0.5)), 4).alias(f"{c}__p50"),
+            F.percentile_approx(col, F.lit(0.5)).alias(f"{c}__sp"),
+            F.percentile(col, F.lit(0.5)).alias(f"{c}__ep"),
         ]
     wide = li.agg(*aggs)
-    metrics = ["n_null", "n_distinct", "min_v", "max_v", "mean_v", "std_v", "p50"]
+    for c in cols:
+        d_tol = F.greatest(
+            F.lit(2.0), F.lit(SKETCH_DISTINCT_RTOL) * F.col(f"{c}__ed")
+        )
+        p_tol = F.greatest(
+            F.lit(0.01), F.lit(SKETCH_P50_RTOL) * F.abs(F.col(f"{c}__ep"))
+        )
+        wide = wide.withColumn(
+            f"{c}__distinct_ok",
+            (F.abs(F.col(f"{c}__sd") - F.col(f"{c}__ed")) <= d_tol).cast("int"),
+        ).withColumn(
+            f"{c}__p50_ok",
+            (F.abs(F.col(f"{c}__sp") - F.col(f"{c}__ep")) <= p_tol).cast("int"),
+        )
+    metrics = ["n_null", "min_v", "max_v", "mean_v", "std_v",
+               "distinct_ok", "p50_ok"]
     stack_args = ", ".join(
         f"'{c}', " + ", ".join(f"`{c}__{m}`" for m in metrics) for c in cols
     )
@@ -760,6 +796,24 @@ def q_stats_profile_sketch(spark, sf_dir):
     ).select(
         "col_name", "n_rows", *metrics
     ).orderBy("col_name")
+
+
+def _sql_stats_profile_sketch() -> str:
+    parts = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        parts.append(f"""
+  SELECT '{c}' AS col_name, count(*) AS n_rows,
+         sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         round(min({c}), 4) AS min_v, round(max({c}), 4) AS max_v,
+         round(avg({c}), 4) AS mean_v, round(stddev_samp({c}), 4) AS std_v,
+         1 AS distinct_ok, 1 AS p50_ok
+  FROM lineitem""")
+    return "SELECT * FROM (" + "\n  UNION ALL\n".join(parts) + ") ORDER BY col_name"
+
+
+#: bounded-error oracle: exact stats value-checked; the sketch verdict
+#: columns must come back 1 — a sketch outside tolerance hash-fails
+SQL_STATS_PROFILE_SKETCH = _sql_stats_profile_sketch()
 
 
 def q_uniqueness_lineitem(spark, sf_dir):
@@ -989,6 +1043,7 @@ ORACLES = {
     "intersect_keys": SQL_INTERSECT_KEYS,
     "topk_orders": SQL_TOPK_ORDERS,
     "stats_profile": SQL_STATS_PROFILE,
+    "stats_profile_sketch": SQL_STATS_PROFILE_SKETCH,
     "uniqueness_lineitem": SQL_UNIQUENESS_LINEITEM,
     "ri_orders_customer": SQL_RI_ORDERS_CUSTOMER,
     "ri_lineitem_orders": SQL_RI_LINEITEM_ORDERS,
@@ -1008,6 +1063,10 @@ def _sql_cosine_topk_ivf(sf_dir: str):
 GENERATED_ORACLES = {
     "pca_scores": sql_pca_scores,
     "cosine_topk_ivf": _sql_cosine_topk_ivf,
+    # the persisted-index search must equal the in-session IVF exactly
+    # (same fit, same conventions, round-tripped through parquet) —
+    # same generated oracle
+    "cosine_topk_ivf_index": _sql_cosine_topk_ivf,
 }
 
 
@@ -1032,7 +1091,13 @@ def render_generated_oracles(sf_dir: str = DRIVER_SF_DIR) -> None:
 # sweep (scripts/check_queries.py, all rows) and multiple prior
 # green driver rounds.
 _DRIVER_PRIORITY = [
-    # new in round 4 — never driver-checked
+    # new in round 5 — never driver-checked
+    "minhash_index_pairs",
+    "minhash_index_probe",
+    "neardup_ingest",
+    "cosine_topk_ivf_index",
+    "image_pixel_stats",
+    # new in round 4 — first driver-checked in round 4
     "constraint_report",
     "constraint_violation_docs",
     # never driver-checked through round 3

@@ -317,6 +317,103 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY do
 SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
 
 
+# ---------------------------------------------- persisted near-dup index
+
+
+def q_minhash_index_pairs(spark, sf_dir):
+    """Incremental-index end-to-end parity: build the persisted MinHash
+    index on two thirds of the corpus, refresh it with the FULL corpus
+    (the already-indexed rows are content-fingerprint re-deliveries and
+    are skipped; the remaining third is the delta that gets probed +
+    self-deduped + appended), then read the maintained pairs artifact.
+    The oracle is the FROM-SCRATCH minhash_pairs SQL over the whole
+    table — the decomposition (base x base at build) ∪ (delta x stored
+    probe) ∪ (delta x delta) must reproduce it exactly, because band
+    keys depend only on each doc's own content
+    (operators/neardup_index.py)."""
+    import tempfile
+
+    from .operators import neardup_index as NI
+
+    d = load(spark, sf_dir, "documents")
+    ref = tempfile.mkdtemp(prefix="ndidx_q_")
+    NI.minhash_index_build(d.where(F.col("doc_id") % 3 != 0), ref)
+    NI.minhash_index_refresh(d, ref)
+    return NI.minhash_index_pairs(spark, ref).orderBy("doc_a", "doc_b")
+
+
+def q_minhash_index_probe(spark, sf_dir):
+    """Read-only index probe: near-dup pairs of the held-out third
+    against the indexed two thirds — only the probe side is LSH-ed;
+    the stored side contributes one band-key equi-join and the shingle
+    refine lookup. Oracle: the cross subset of the from-scratch
+    pairs."""
+    import tempfile
+
+    from .operators import neardup_index as NI
+
+    d = load(spark, sf_dir, "documents")
+    ref = tempfile.mkdtemp(prefix="ndprobe_q_")
+    NI.minhash_index_build(d.where(F.col("doc_id") % 3 != 0), ref)
+    return NI.minhash_index_probe(d.where(F.col("doc_id") % 3 == 0), ref).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+SQL_MINHASH_INDEX_PROBE = f"""
+SELECT doc_a, doc_b, jaccard FROM ({_sql_minhash_pairs()})
+WHERE (doc_a % 3 = 0) <> (doc_b % 3 = 0)
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_neardup_ingest(spark, sf_dir):
+    """The ingest gate a streaming near-dup dedup runs per micro-batch
+    (streaming/dedup.py neardup_ingest_batch — the catalogue calls the
+    SAME function foreachBatch wires, so batch and stream semantics
+    cannot diverge): index built on two thirds of the corpus, the
+    held-out third arrives as one batch; rows are dropped when they
+    are exact re-deliveries, near-dups of an indexed doc, or have a
+    smaller-id near-dup partner within the batch. Returns the
+    surviving doc ids."""
+    import tempfile
+
+    from .operators import neardup_index as NI
+    from .streaming.dedup import neardup_ingest_batch
+
+    d = load(spark, sf_dir, "documents")
+    ref = tempfile.mkdtemp(prefix="ndingest_q_")
+    NI.minhash_index_build(d.where(F.col("doc_id") % 3 != 0), ref)
+    survivors = neardup_ingest_batch(d.where(F.col("doc_id") % 3 == 0), ref)
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
+SQL_NEARDUP_INGEST = f"""
+WITH full_pairs AS ({_sql_minhash_pairs()}),
+delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+base  AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+-- 1. exact content re-deliveries
+fresh AS (SELECT d.doc_id FROM delta d
+          WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = d.text)),
+-- 2. near-dup of an indexed doc (cross pairs, delta side)
+matched AS (
+  SELECT CASE WHEN doc_a % 3 = 0 THEN doc_a ELSE doc_b END AS doc_id
+  FROM full_pairs WHERE (doc_a % 3 = 0) <> (doc_b % 3 = 0)
+),
+fresh2 AS (SELECT doc_id FROM fresh WHERE doc_id NOT IN (SELECT doc_id FROM matched)),
+-- 3. within-batch: greatest side of each surviving delta-delta pair
+losers AS (
+  SELECT greatest(doc_a, doc_b) AS doc_id
+  FROM full_pairs
+  WHERE doc_a % 3 = 0 AND doc_b % 3 = 0
+    AND doc_a IN (SELECT doc_id FROM fresh2)
+    AND doc_b IN (SELECT doc_id FROM fresh2)
+)
+SELECT doc_id FROM fresh2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id
+"""
+
+
 def q_sample_docs(spark, sf_dir):
     """Deterministic 10% train-split sample by md5(doc_id || salt)
     prefix (operators/sampling.py): a pure map-side filter with no
@@ -1076,6 +1173,27 @@ ORDER BY row_id, rn
 """
 
 
+def q_cosine_topk_ivf_index(spark, sf_dir):
+    """Persisted-IVF parity: build the index artifacts (frozen
+    centroids + unit vectors + inverted lists, operators/similarity.py
+    ivf_index_build), then search the same corpus against the stored
+    state. Output must equal the in-session ivf_topk (same
+    deterministic fit, same assignment/probe/refine conventions), so
+    the generated cosine_topk_ivf oracle applies verbatim — the row
+    value-checks the round-trip through parquet persistence."""
+    import tempfile
+
+    e = emb(spark, sf_dir)
+    ref = tempfile.mkdtemp(prefix="ivfidx_q_")
+    S.ivf_index_build(
+        e, ref, n_clusters=IVF_CLUSTERS, n_iters=IVF_ITERS, n_assign=IVF_ASSIGN
+    )
+    out = S.ivf_index_search(e, ref, k=IVF_K, n_probe=IVF_PROBE)
+    return out.select(
+        "row_id", "rn", "nbr_id", F.round("cos", 4).alias("cos")
+    ).orderBy("row_id", "rn")
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -1095,6 +1213,30 @@ SELECT doc_id,
        16 + ('0x' || substr(sha256(text), 3, 2))::INT % 64 AS height,
        1 + ('0x' || substr(sha256(text), 5, 2))::INT % 3 AS channels
 FROM documents ORDER BY doc_id
+"""
+
+
+def q_image_pixel_stats(spark, sf_dir):
+    """REAL-codec decode path end-to-end: deterministic PPM (even ids)
+    / 24-bit BMP (odd ids) payloads synthesized per doc, decoded by
+    the built-in dependency-free codecs (operators/multimodal.py,
+    decode_image(fake=False)), aggregated to exact integer pixel sums
+    the closed-form oracle reproduces — value-checked evidence that
+    the non-fake codec branch executes, not just raises."""
+    from .operators.multimodal import image_pixel_stats, synthesize_image_payloads
+
+    d = load(spark, sf_dir, "documents")
+    payloads = synthesize_image_payloads(d)
+    return image_pixel_stats(payloads, fake=False).orderBy("doc_id")
+
+
+SQL_IMAGE_PIXEL_STATS = """
+WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+ks AS (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS k FROM dims),
+px AS (SELECT doc_id, w, h, ((doc_id * 7 + k) % 256)::BIGINT AS v FROM ks)
+SELECT doc_id, any_value(w)::INT AS width, any_value(h)::INT AS height,
+       sum(v)::BIGINT AS pix_sum, sum(v * v)::BIGINT AS pix_sqsum
+FROM px GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -1284,7 +1426,12 @@ TEXT_QUERIES = {
     "embedding_neardup_ann": q_embedding_neardup_ann,
     "cosine_topk_ann": q_cosine_topk_ann,
     "cosine_topk_ivf": q_cosine_topk_ivf,
+    "cosine_topk_ivf_index": q_cosine_topk_ivf_index,
+    "minhash_index_pairs": q_minhash_index_pairs,
+    "minhash_index_probe": q_minhash_index_probe,
+    "neardup_ingest": q_neardup_ingest,
     "multimodal_metadata": q_multimodal_metadata,
+    "image_pixel_stats": q_image_pixel_stats,
     "prepare_corpus": q_prepare_corpus,
 }
 
@@ -1319,6 +1466,10 @@ TEXT_ORACLES = {
     "rp_lsh_buckets": SQL_RP_LSH_BUCKETS,
     "embedding_neardup_ann": SQL_EMBEDDING_NEARDUP_ANN,
     "cosine_topk_ann": SQL_COSINE_TOPK_ANN,
+    "minhash_index_pairs": SQL_MINHASH_PAIRS,
+    "minhash_index_probe": SQL_MINHASH_INDEX_PROBE,
+    "neardup_ingest": SQL_NEARDUP_INGEST,
     "multimodal_metadata": SQL_MULTIMODAL_METADATA,
+    "image_pixel_stats": SQL_IMAGE_PIXEL_STATS,
     "prepare_corpus": SQL_PREPARE_CORPUS,
 }

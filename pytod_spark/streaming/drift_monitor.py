@@ -82,6 +82,62 @@ def fit_reference_model(
     return model
 
 
+#: bump on incompatible model-dict layout changes
+MODEL_VERSION = 1
+
+
+def save_reference_model(spark, model: dict, ref: str) -> None:
+    """Persist a fitted drift model (the dict ``fit_reference_model``
+    returns) through ``sources.write_table`` — parquet path or
+    ``table:``/``iceberg:`` catalog ref, like every other artifact —
+    so a restarted stream or a nightly validate scores against
+    YESTERDAY'S frozen model instead of refitting (the serving-path
+    mirror of validation/profile.py's persisted drift profile; the
+    reference refits per call, pytod/models/knn.py:100-108). One row:
+    scalars + the densities array; doubles round-trip parquet
+    exactly, so load(save(m)) == m."""
+    from ..sources import write_table
+
+    row = (
+        MODEL_VERSION,
+        float(model["lo"]), float(model["hi"]), float(model["w"]),
+        int(model["n_bins"]), float(model["alpha"]),
+        [float(d) for d in model["densities"]],
+        float(model["threshold"]),
+    )
+    write_table(
+        spark.createDataFrame(
+            [row],
+            "version int, lo double, hi double, w double, n_bins int, "
+            "alpha double, densities array<double>, threshold double",
+        ),
+        ref,
+    )
+
+
+def load_reference_model(spark, ref: str) -> dict:
+    """Load a model persisted by :func:`save_reference_model`."""
+    from ..sources import load_table
+
+    rows = load_table(spark, ref).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"drift model at {ref!r} holds {len(rows)} rows (expected 1) — "
+            "not a model artifact"
+        )
+    r = rows[0]
+    if r["version"] != MODEL_VERSION:
+        raise ValueError(
+            f"drift model at {ref!r} is version {r['version']}, this "
+            f"library reads {MODEL_VERSION} — refit it"
+        )
+    return {
+        "lo": r["lo"], "hi": r["hi"], "w": r["w"], "n_bins": r["n_bins"],
+        "alpha": r["alpha"], "densities": list(r["densities"]),
+        "threshold": r["threshold"],
+    }
+
+
 def score_stream(stream: DataFrame, model: dict, value_col: str) -> DataFrame:
     """Append HBOS score + outlier label columns to a (streaming or
     batch) DataFrame using only built-in expressions."""

@@ -296,3 +296,60 @@ def test_streaming_constraint_split(spark, tmp_path):
         streaming_constraint_split(
             viol, [RowConstraint("ok", "doc_id > 0")]
         )
+
+
+def test_drift_model_save_load_roundtrip(spark, ref_df, tmp_path):
+    """Persisted serving model: load(save(m)) == m exactly (doubles
+    round-trip parquet bit-for-bit), and scoring against the loaded
+    model is identical to scoring against the in-session fit — a
+    restarted stream needs no refit."""
+    from pytod_spark.streaming.drift_monitor import (
+        load_reference_model,
+        save_reference_model,
+    )
+
+    model = fit_reference_model(ref_df, "value", n_bins=10, alpha=0.1)
+    ref = str(tmp_path / "drift_model")
+    save_reference_model(spark, model, ref)
+    loaded = load_reference_model(spark, ref)
+    assert loaded == model
+    a = score_stream(ref_df, model, "value").collect()
+    b = score_stream(ref_df, loaded, "value").collect()
+    assert [(r.value, r.score, r.label) for r in a] == [
+        (r.value, r.score, r.label) for r in b
+    ]
+
+
+def test_drift_model_load_rejects_non_model(spark, tmp_path):
+    from pytod_spark.streaming.drift_monitor import load_reference_model
+
+    bad = str(tmp_path / "not_model")
+    spark.range(5).write.parquet(bad)
+    with pytest.raises(ValueError, match="not a model artifact"):
+        load_reference_model(spark, bad)
+
+
+def test_cli_fit_monitor(spark, ref_df, tmp_path):
+    """CLI surface: fit-monitor persists a model the library loads."""
+    import json as _json
+
+    from pytod_spark.cli import main as cli_main
+    from pytod_spark.streaming.drift_monitor import load_reference_model
+
+    src = str(tmp_path / "refdata")
+    ref_df.write.parquet(src)
+    out = str(tmp_path / "model")
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main([
+            "fit-monitor", "--ref", src, "--value-col", "value",
+            "--out", out, "--contamination", "0.1",
+        ])
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    model = load_reference_model(spark, out)
+    assert summary["threshold"] == model["threshold"]
+    assert model["n_bins"] == 10
