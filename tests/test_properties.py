@@ -417,7 +417,9 @@ def test_constraint_semantics_agree_with_duckdb(spark, cut, frac, null_marker):
         ("src", "source LIKE 'src%'"),
     ]
     cs = [
-        RowConstraint(n, p, max_violation_rate=float(round(frac, 3)) if frac < 1 else 0.999)
+        # clamp AFTER rounding: a drawn frac of 0.999…9 < 1 still
+        # rounds to 1.0, which is outside the rate's [0, 1) domain
+        RowConstraint(n, p, max_violation_rate=min(float(round(frac, 3)), 0.999))
         for n, p in preds
     ]
     got = {
