@@ -81,8 +81,7 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
 
 def test_all_oracle_keys_have_queries():
     assert set(ORACLES) <= set(QUERIES)
-    # rows-only queries are the documented exceptions
-    rows_only = set(QUERIES) - set(ORACLES)
-    # stats_profile_sketch: HLL/KLL estimates are engine-specific,
-    # tolerance-checked against the exact twin in test_round2_ops
-    assert rows_only == {"stats_profile_sketch"}
+    # since round 5 the catalogue has NO rows-only queries: even the
+    # sketch row ships a bounded-error oracle (in-plan verdicts vs the
+    # exact twin, asserted by the DuckDB SQL)
+    assert set(QUERIES) - set(ORACLES) == set()
