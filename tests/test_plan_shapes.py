@@ -482,3 +482,25 @@ def test_constraint_summary_partial_aggregates(spark, docs):
     p = _plan(out)
     assert "partial_count" in p  # map-side combine under the agg
     assert p.count("Exchange") == 1  # exactly the one grouped shuffle
+
+
+def test_index_probe_and_search_are_equi_joins(spark, docs, embs, tmp_path):
+    """Round-5 persisted-index serving paths: the band-table probe and
+    the IVF inverted-list search must stay equi-joins on their 8-byte
+    keys — a CartesianProduct/BroadcastNestedLoop node means the
+    all-pairs space leaked back in — and the probe must contain no
+    quadratic tile cogroup (it only LSH-es the NEW side)."""
+    from pytod_spark.operators import neardup_index as NI
+    from pytod_spark.operators import similarity as S
+
+    d = docs.select("doc_id", "text")
+    nd_ref = str(tmp_path / "nd")
+    NI.minhash_index_build(d.where(F.col("doc_id") % 2 == 0), nd_ref)
+    probe = NI.minhash_index_probe(d.where(F.col("doc_id") % 2 == 1), nd_ref)
+    ivf_ref = str(tmp_path / "ivf")
+    S.ivf_index_build(embs, ivf_ref, n_clusters=4, n_iters=1, n_assign=2)
+    search = S.ivf_index_search(embs, ivf_ref, k=3, n_probe=2)
+    for name, p in {"probe": _plan(probe), "ivf_search": _plan(search)}.items():
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "FlatMapCoGroupsInPandas" not in p, name
