@@ -14,12 +14,23 @@ from .range_join import (  # noqa: F401
 )
 from .ranking import bucketed_cumsums, bucketed_ranks, with_group_size  # noqa: F401
 from .sampling import hash_sample, sample_predicate, stratified_sample  # noqa: F401
+from .neardup_index import (  # noqa: F401
+    minhash_index_build,
+    minhash_index_check,
+    minhash_index_pairs,
+    minhash_index_probe,
+    minhash_index_refresh,
+)
 from .similarity import (  # noqa: F401
     ann_cosine_topk,
     ann_neardup_pairs,
     cosine_pairs,
     cosine_topk_join,
     ivf_fit,
+    ivf_index_append,
+    ivf_index_build,
+    ivf_index_search,
+    ivf_knn_join,
     ivf_topk,
     rp_lsh_buckets,
     rp_lsh_candidate_pairs,
