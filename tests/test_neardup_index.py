@@ -257,3 +257,30 @@ def test_ivf_index_append(spark, tmp_path):
     # append-only: re-appending the same ids raises
     with pytest.raises(ValueError, match="append-only"):
         S.ivf_index_append(delta, ref)
+
+
+def test_refresh_handles_shingleless_delta(spark, tmp_path):
+    """Docs with < n tokens have no shingles, hence no signature and no
+    bands anywhere in the minhash family — a refresh whose delta
+    contains such docs must still record them in the docs artifact
+    (they are indexed content, probe-able by exact sha next time) and
+    emit no pairs, and the health check must accept the 0-band arity."""
+    d = _docs(spark)
+    ref = str(tmp_path / "idx")
+    NI.minhash_index_build(d, ref)
+    tiny = spark.createDataFrame(
+        [(300, "one two"), (301, "x")], "doc_id long, text string"
+    )
+    out = NI.minhash_index_refresh(tiny, ref)
+    assert out["n_new_docs"] == 2 and out["n_new_pairs"] == 0
+    assert NI.minhash_index_check(spark, ref)["ok"]
+    # re-delivery of the tiny docs is fingerprint-skipped
+    assert NI.minhash_index_refresh(tiny, ref)["n_new_docs"] == 0
+
+
+def test_probe_empty_new_frame(spark, tmp_path):
+    d = _docs(spark)
+    ref = str(tmp_path / "idx")
+    NI.minhash_index_build(d, ref)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert NI.minhash_index_probe(empty, ref).count() == 0
