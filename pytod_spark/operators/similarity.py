@@ -887,6 +887,35 @@ def ivf_index_search(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
+def ivf_index_check(spark, ref: str) -> dict:
+    """IVF-artifact health through the validation engine's check
+    primitives (the IVF sibling of neardup_index.minhash_index_check):
+    doc_id uniqueness in vectors (a doubled append), referential
+    integrity cells.doc_id -> vectors, and inverted-list arity (every
+    vector appears in exactly meta.n_assign cells). ``ok`` True when
+    all counts are zero."""
+    from ..sources import load_table
+    from ..validation.constraints import ri_violations, uniqueness_violations
+
+    meta, _ = _ivf_load(spark, ref)
+    vectors = load_table(spark, _ivf_sub_ref(ref, "vectors"))
+    cells = load_table(spark, _ivf_sub_ref(ref, "cells"))
+    out = {
+        "n_dup_keys": int(uniqueness_violations(vectors, ["doc_id"]).count()),
+        "n_cell_orphans": int(
+            ri_violations(cells, vectors.select("doc_id"), ["doc_id"]).count()
+        ),
+        "n_bad_arity": int(
+            cells.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") != meta["n_assign"])
+            .count()
+        ),
+    }
+    out["ok"] = not any(out.values())
+    return out
+
+
 def ivf_index_append(
     new_df: DataFrame,
     ref: str,

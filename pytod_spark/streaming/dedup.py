@@ -95,7 +95,15 @@ def streaming_neardup_candidates(
     stored band table joins stream-static on the 8-byte key, and the
     refine is the exact shingle Jaccard against the stored shingle
     sets — candidates only, never all-pairs. Threshold and shingle
-    width come from the index meta."""
+    width come from the index meta.
+
+    Multiplicity note: a doc colliding with the same stored doc in
+    several bands emits one match row per colliding band — a stateless
+    plan cannot dedupe without unbounded (or watermarked) stream
+    state. Alert consumers that need one row per pair add
+    ``dropDuplicatesWithinWatermark([id_col, "indexed_id"])`` behind a
+    watermark; the ingest gate (``neardup_ingest_batch``) is
+    unaffected (its anti-join only needs existence)."""
     from ..operators.dedup import map_side_band_keys, shingles
     from ..operators.neardup_index import _load_meta, _sub_ref
     from ..sources import load_table

@@ -284,3 +284,16 @@ def test_probe_empty_new_frame(spark, tmp_path):
     NI.minhash_index_build(d, ref)
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert NI.minhash_index_probe(empty, ref).count() == 0
+
+
+def test_ivf_index_check(spark, tmp_path):
+    e = _emb(spark)
+    ref = str(tmp_path / "ivf")
+    S.ivf_index_build(e, ref, n_clusters=8, n_iters=1, n_assign=2)
+    assert S.ivf_index_check(spark, ref)["ok"]
+    # doubled append: duplicate one vectors row
+    vpath = os.path.join(ref, "vectors")
+    one = spark.read.parquet(vpath).limit(1).localCheckpoint()
+    one.write.mode("append").parquet(vpath)
+    rep = S.ivf_index_check(spark, ref)
+    assert not rep["ok"] and rep["n_dup_keys"] == 1
