@@ -297,3 +297,23 @@ def test_ivf_index_check(spark, tmp_path):
     one.write.mode("append").parquet(vpath)
     rep = S.ivf_index_check(spark, ref)
     assert not rep["ok"] and rep["n_dup_keys"] == 1
+
+
+def test_index_catalog_table_refs(spark, tmp_path):
+    """The artifact set also lives behind table:/iceberg: catalog refs
+    (the lakehouse deployment posture — sources.write_table/ load_table
+    resolve them via saveAsTable/read.table): build, probe, refresh and
+    health-check all work unchanged, and the pair set still equals the
+    from-scratch run."""
+    d = _docs(spark)
+    ref = "table:ndidx_t"
+    try:
+        NI.minhash_index_build(d.where(F.col("doc_id") % 2 == 0), ref)
+        NI.minhash_index_refresh(d, ref)
+        got = _pairs_set(NI.minhash_index_pairs(spark, ref))
+        want = _pairs_set(D.minhash_dedup_pairs(d, threshold=0.5))
+        assert got == want and want
+        assert NI.minhash_index_check(spark, ref)["ok"]
+    finally:
+        for t in ("docs", "bands", "pairs", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS ndidx_t_{t}")
